@@ -1,0 +1,105 @@
+"""Prediction decoding: head outputs -> final detections (jit-safe, padded).
+
+Parity target: voxel_postprocessor_3heads.post_process:318-477 (multi-class)
+and voxel_postprocessor.post_process:245-405 (single-class):
+  sigmoid -> per-slot max-over-class score/label -> score threshold ->
+  delta decode -> corner boxes -> sanity filters -> rotated NMS -> range mask.
+
+TPU-first design: the dynamic masked_select/len()-checks of the reference
+become a static top-K prefilter plus validity masks, so the whole pipeline
+jits into one XLA program with fixed shapes.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from quantv2x_tpu.data.anchors import decode_deltas
+from quantv2x_tpu.utils import box_utils as bu
+
+
+@dataclasses.dataclass(frozen=True)
+class PostprocessCfg:
+    score_threshold: float = 0.2
+    nms_threshold: float = 0.15
+    pre_nms_top_k: int = 512
+    max_detections: int = 150
+    gt_range: tuple = (-140.8, -40.0, -3.0, 140.8, 40.0, 1.0)
+    order: str = "hwl"
+    num_classes: int = 3
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_detections(cls_preds, reg_preds, anchors, cfg: PostprocessCfg,
+                      transform=None, dir_preds=None, dir_offset=0.7853,
+                      num_dir_bins=2):
+    """One frame's head outputs -> padded final detections.
+
+    Args:
+      cls_preds: (H, W, S*C) logits — S anchor slots x C class logits
+                 (C=1 for single-class).
+      reg_preds: (H, W, S*7).
+      anchors: (H, W, S, 7) hwl.
+      transform: optional (4, 4) projection into ego frame.
+      dir_preds: optional (H, W, S*num_dir_bins) direction logits.
+
+    Returns dict with corners (K, 8, 3), boxes (K, 7), scores (K,),
+    labels (K,) 1-based, valid (K,) — K = cfg.pre_nms_top_k after NMS and
+    filters (padded).
+    """
+    H, W, S, _ = anchors.shape
+    C = cfg.num_classes
+    prob = jax.nn.sigmoid(cls_preds.reshape(H * W * S, C))
+    scores = prob.max(axis=-1)
+    labels = prob.argmax(axis=-1).astype(jnp.int32) + 1
+
+    deltas = reg_preds.reshape(H * W * S, 7)
+    boxes = decode_deltas(deltas, anchors.reshape(-1, 7))  # (N, 7) hwl
+
+    if dir_preds is not None:
+        # direction classifier fixes the yaw bin (parity:
+        # voxel_postprocessor.post_process:325-336)
+        dlogits = dir_preds.reshape(H * W * S, num_dir_bins)
+        dir_labels = jnp.argmax(dlogits, axis=-1).astype(boxes.dtype)
+        period = 2 * jnp.pi / num_dir_bins
+        yaw = boxes[:, 6]
+        dir_rot = yaw - dir_offset - jnp.floor((yaw - dir_offset) / period) * period
+        yaw = dir_rot + dir_offset + period * dir_labels
+        yaw = yaw - jnp.floor(yaw / (2 * jnp.pi) + 0.5) * (2 * jnp.pi)
+        boxes = boxes.at[:, 6].set(yaw)
+
+    keep = scores > cfg.score_threshold
+
+    # static top-K prefilter replaces dynamic masked_select
+    K = cfg.pre_nms_top_k
+    masked_scores = jnp.where(keep, scores, -1.0)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, K)
+    top_valid = top_scores > 0
+    top_boxes = boxes[top_idx]
+    top_labels = labels[top_idx]
+
+    corners = bu.boxes_to_corners_3d(top_boxes, cfg.order)  # (K, 8, 3)
+    if transform is not None:
+        corners = bu.project_corners(corners, transform)
+
+    ok = (
+        top_valid
+        & bu.mask_large_boxes(corners)
+        & bu.mask_abnormal_z(corners, cfg.gt_range[2], cfg.gt_range[5] + 1.0)
+    )
+    nms_keep = bu.nms_corners(corners, top_scores, ok, cfg.nms_threshold)
+    final = nms_keep & bu.mask_boxes_range(corners, cfg.gt_range)
+
+    # compact survivors to the front, capped at max_detections
+    order = jnp.argsort(jnp.where(final, -top_scores, jnp.inf), stable=True)
+    M = cfg.max_detections
+    sel = order[:M]
+    return {
+        "corners": corners[sel],
+        "boxes": top_boxes[sel],
+        "scores": top_scores[sel],
+        "labels": top_labels[sel],
+        "valid": final[sel],
+    }
