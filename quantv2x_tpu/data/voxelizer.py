@@ -1,0 +1,109 @@
+"""Fixed-capacity point-cloud voxelizer (pillars), fully on-device.
+
+Replaces the reference's CPU-side spconv ``Point2VoxelCPU3d``
+(/root/reference/opencood/data_utils/pre_processor/sp_voxel_preprocessor.py:18-174)
+with a sort-based jnp implementation that runs inside jit on the TPU so the
+host never becomes the bottleneck (SURVEY.md §7 "hard parts": CPU
+voxelization throughput).
+
+Output contract matches the reference preprocessor:
+  voxel_features: (max_voxels, max_points, 4)  — xyzi, zero-padded
+  voxel_coords:   (max_voxels, 3)              — (z=0, y, x) grid indices
+  voxel_num_points: (max_voxels,)              — valid point count (0 = empty slot)
+  voxel_mask:     (max_voxels,) bool
+
+Algorithm (static shapes, O(P log P)):
+  1. compute each point's linear pillar id (out-of-range/padded -> sentinel);
+  2. sort points by id;
+  3. run-boundary flags -> per-point pillar rank (cumsum) and in-pillar rank;
+  4. scatter into the padded (max_voxels, max_points) buffer with drop mode.
+Points beyond max_points per pillar and pillars beyond max_voxels are dropped,
+like the reference's capacity caps (max_points_per_voxel / max_voxel_*).
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelCfg:
+    lidar_range: tuple          # (x1, y1, z1, x2, y2, z2)
+    voxel_size: tuple           # (vx, vy, vz)
+    max_points_per_voxel: int = 32
+    max_voxels: int = 16000
+
+    @property
+    def grid_size(self):
+        nx = int(round((self.lidar_range[3] - self.lidar_range[0]) / self.voxel_size[0]))
+        ny = int(round((self.lidar_range[4] - self.lidar_range[1]) / self.voxel_size[1]))
+        nz = int(round((self.lidar_range[5] - self.lidar_range[2]) / self.voxel_size[2]))
+        return nx, ny, nz
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def voxelize(points, points_mask, cfg: VoxelCfg):
+    """points: (P, F>=3) with xyz in cols 0..2; points_mask: (P,) bool."""
+    P, F = points.shape
+    nx, ny, _ = cfg.grid_size
+    x1, y1, z1, x2, y2, z2 = cfg.lidar_range
+    vx, vy, _ = cfg.voxel_size
+
+    gx = jnp.floor((points[:, 0] - x1) / vx).astype(jnp.int32)
+    gy = jnp.floor((points[:, 1] - y1) / vy).astype(jnp.int32)
+    in_range = (
+        (points[:, 0] >= x1) & (points[:, 0] < x2)
+        & (points[:, 1] >= y1) & (points[:, 1] < y2)
+        & (points[:, 2] >= z1) & (points[:, 2] < z2)
+        & points_mask
+    )
+    gx = jnp.clip(gx, 0, nx - 1)
+    gy = jnp.clip(gy, 0, ny - 1)
+    SENTINEL = nx * ny  # invalid points sort to the end
+    pid = jnp.where(in_range, gy * nx + gx, SENTINEL)
+
+    order = jnp.argsort(pid, stable=True)
+    pid_s = pid[order]
+    pts_s = points[order]
+    valid_s = pid_s < SENTINEL
+
+    first = jnp.concatenate(
+        [jnp.array([True]), pid_s[1:] != pid_s[:-1]]
+    ) & valid_s
+    pillar_rank = jnp.cumsum(first) - 1                      # (P,) 0-based
+    # in-pillar rank: position since the start of the current run
+    idx = jnp.arange(P)
+    run_start = jnp.where(first, idx, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    point_rank = idx - run_start
+
+    ok = valid_s & (pillar_rank < cfg.max_voxels) & (point_rank < cfg.max_points_per_voxel)
+    vr = jnp.where(ok, pillar_rank, cfg.max_voxels)
+    pr = jnp.where(ok, point_rank, cfg.max_points_per_voxel)
+
+    voxel_features = jnp.zeros(
+        (cfg.max_voxels, cfg.max_points_per_voxel, F), points.dtype
+    ).at[vr, pr].set(pts_s, mode="drop")
+
+    counts = jnp.zeros((cfg.max_voxels,), jnp.int32).at[vr].add(
+        ok.astype(jnp.int32), mode="drop"
+    )
+
+    slot_pid = jnp.full((cfg.max_voxels,), SENTINEL, jnp.int32).at[vr].min(
+        pid_s.astype(jnp.int32), mode="drop"
+    )
+    voxel_mask = slot_pid < SENTINEL
+    cy = jnp.where(voxel_mask, slot_pid // nx, 0)
+    cx = jnp.where(voxel_mask, slot_pid % nx, 0)
+    voxel_coords = jnp.stack(
+        [jnp.zeros_like(cy), cy, cx], axis=-1
+    )  # (z, y, x) — reference coord order
+
+    return {
+        "voxel_features": voxel_features,
+        "voxel_coords": voxel_coords,
+        "voxel_num_points": counts,
+        "voxel_mask": voxel_mask,
+    }

@@ -1,0 +1,170 @@
+"""Flagship cooperative detection model (the reference's HeterPyramidCollab line).
+
+Parity: models/heter_pyramid_collab_mc.py:22-357 —
+  per-agent encoder -> BEV backbone -> aligner, agents assembled on a padded
+  axis, optional compressor/codebook at the communication point, pyramid
+  weighted fusion, shrink conv, and 1x1 cls/reg/dir heads with the
+  multi-class channel counts (cls: A*C*C, reg: 7*A*C, dir: bins*A*C,
+  heter_pyramid_collab_mc.py:120-125).
+
+TPU-first shape discipline: the batch is (B, L, ...) padded over agents; the
+encoder runs as one (B*L)-batch GEMM/conv pipeline; communication (codebook)
+slots in between encode and fusion, exactly where the ICI all-gather goes in
+the multi-chip mapping (see parallel/).
+"""
+
+import dataclasses
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quantv2x_tpu.data.voxelizer import VoxelCfg
+from quantv2x_tpu.models.bev_backbone import ResNetBEVBackbone
+from quantv2x_tpu.models.layers import ConvBNReLU
+from quantv2x_tpu.models.pillar_encoder import PillarVFE, scatter_to_bev
+from quantv2x_tpu.models.pyramid_fusion import PyramidFusion
+from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelCfg:
+    voxel: VoxelCfg
+    num_class: int = 3
+    anchor_num: int = 2                      # rotations per class
+    num_dir_bins: int = 2
+    pillar_filters: tuple = (64,)
+    backbone_layers: tuple = (3,)
+    backbone_strides: tuple = (2,)
+    backbone_filters: tuple = (64,)
+    pyramid_layers: tuple = (3, 5, 8)
+    pyramid_strides: tuple = (1, 2, 2)
+    pyramid_filters: tuple = (64, 128, 256)
+    pyramid_up_strides: tuple = (1, 2, 4)
+    pyramid_up_filters: tuple = (128, 128, 128)
+    shrink_dim: int = 256
+    max_cav: int = 4
+    dtype: str = "float32"
+
+    @property
+    def jnp_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def bev_hw(self):
+        nx, ny, _ = self.voxel.grid_size
+        return ny, nx
+
+
+class ShrinkConv(nn.Module):
+    """DownsampleConv/DoubleConv parity (sub_modules/downsample_conv.py:7-49)."""
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(self.dim, (3, 3), padding="SAME",
+                            dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(self.dim, (3, 3), padding="SAME",
+                            dtype=self.dtype, name="conv2")(x))
+        return x
+
+
+class DetectionHeads(nn.Module):
+    """1x1 multi-class heads (heter_pyramid_collab_mc.py:120-125)."""
+    num_class: int
+    anchor_num: int
+    num_dir_bins: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        S = self.anchor_num * self.num_class  # anchor slots per location
+        cls = nn.Conv(S * self.num_class, (1, 1), dtype=self.dtype,
+                      name="cls_head")(x)
+        reg = nn.Conv(S * 7, (1, 1), dtype=self.dtype, name="reg_head")(x)
+        dirp = nn.Conv(S * self.num_dir_bins, (1, 1), dtype=self.dtype,
+                       name="dir_head")(x)
+        return cls, reg, dirp
+
+
+class PyramidCollabModel(nn.Module):
+    """Encoder -> backbone -> [comm] -> pyramid fusion -> shrink -> heads."""
+    cfg: ModelCfg
+    compressor: Optional[nn.Module] = None  # codebook / naive compressor
+
+    def setup(self):
+        c = self.cfg
+        dt = c.jnp_dtype
+        self.vfe = PillarVFE(c.voxel, c.pillar_filters, dtype=dt)
+        self.backbone = ResNetBEVBackbone(
+            c.backbone_layers, c.backbone_strides, c.backbone_filters,
+            dtype=dt,
+        )
+        self.pyramid = PyramidFusion(
+            layer_nums=c.pyramid_layers, layer_strides=c.pyramid_strides,
+            num_filters=c.pyramid_filters,
+            upsample_strides=c.pyramid_up_strides,
+            num_upsample_filters=c.pyramid_up_filters,
+            dtype=dt,
+        )
+        self.shrink = ShrinkConv(c.shrink_dim, dtype=dt)
+        self.heads = DetectionHeads(
+            c.num_class, c.anchor_num, c.num_dir_bins, dtype=dt
+        )
+
+    def encode_agents(self, batch, train: bool = False):
+        """Per-agent feature extraction up to the communication point.
+
+        batch['voxel_features']: (B, L, V, P, 4), etc. Returns
+        (B, L, H/2, W/2, C) agent BEV features.
+        """
+        c = self.cfg
+        vf = batch["voxel_features"]
+        B, L, V, P, F = vf.shape
+        # all agents' pillars in ONE GEMM batch (the reference likewise stacks
+        # every agent's voxels along dim 0) — MXU-friendly
+        pillar_feats = self.vfe(
+            vf.reshape(B * L * V, P, F),
+            batch["voxel_coords"].reshape(B * L * V, 3),
+            batch["voxel_num_points"].reshape(B * L * V),
+            train,
+        ).reshape(B * L, V, -1)
+        nx, ny, _ = c.voxel.grid_size
+        bev = jax.vmap(
+            lambda f, co, m: scatter_to_bev(f, co, m, (ny, nx))
+        )(pillar_feats,
+          batch["voxel_coords"].reshape(B * L, V, 3),
+          batch["voxel_mask"].reshape(B * L, V))
+        # conv backbone over the flat agent batch
+        feat = self.backbone(bev, train)          # (B*L, H/2, W/2, C)
+        return feat.reshape(B, L, *feat.shape[1:])
+
+    def fuse_and_predict(self, agent_feats, batch, train: bool = False):
+        """Fusion + heads from (possibly decompressed) agent features."""
+        c = self.cfg
+        H, W = c.bev_hw
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0]
+        )
+        fused, occ_maps = self.pyramid.forward_collab(
+            agent_feats, batch["agent_mask"], affine, train
+        )
+        fused = self.shrink(fused)
+        cls, reg, dirp = self.heads(fused)
+        return {
+            "cls_preds": cls,        # (B, h, w, S*C)
+            "reg_preds": reg,        # (B, h, w, S*7)
+            "dir_preds": dirp,       # (B, h, w, S*bins)
+            "occ_maps": occ_maps,    # list of (B, L, hi, wi, 1)
+        }
+
+    def __call__(self, batch, train: bool = False):
+        feats = self.encode_agents(batch, train)
+        aux = {}
+        if self.compressor is not None:
+            feats, aux = self.compressor(feats, train)
+        out = self.fuse_and_predict(feats, batch, train)
+        out.update(aux)
+        return out

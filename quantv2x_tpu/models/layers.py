@@ -1,0 +1,204 @@
+"""Shared NN building blocks (flax.linen, NHWC, bf16-friendly).
+
+Conventions:
+  - activations may be bfloat16 (``dtype``); params and BN stats stay fp32;
+  - BatchNorm eps/momentum match the reference (1e-3 / torch-momentum 0.01,
+    i.e. flax momentum 0.99 — see e.g. base_bev_backbone_resnet.py:61);
+  - all convs NHWC with HWIO kernels — the native TPU layout.
+"""
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.99  # = 1 - torch 0.01
+
+
+class ConvBNReLU(nn.Module):
+    """Conv2d -> BatchNorm -> optional ReLU (the reference's ubiquitous trio)."""
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    use_bn: bool = True
+    act: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding="SAME",
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class DeconvBNReLU(nn.Module):
+    """ConvTranspose2d -> BN -> ReLU (the backbone's upsample blocks)."""
+    features: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.stride >= 1:
+            x = nn.ConvTranspose(
+                self.features,
+                (self.stride, self.stride),
+                strides=(self.stride, self.stride),
+                padding="VALID",
+                use_bias=False,
+                dtype=self.dtype,
+                name="deconv",
+            )(x)
+        else:
+            s = int(round(1 / self.stride))
+            x = nn.Conv(
+                self.features, (s, s), strides=(s, s), padding="VALID",
+                use_bias=False, dtype=self.dtype, name="deconv",
+            )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM,
+            epsilon=BN_EPS, dtype=self.dtype, name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock (parity: sub_modules/resblock.py:18-65)."""
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = ConvBNReLU(self.planes, 3, self.stride, dtype=self.dtype,
+                         name="conv1")(x, train)
+        out = ConvBNReLU(self.planes, 3, 1, act=False, dtype=self.dtype,
+                         name="conv2")(out, train)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = ConvBNReLU(self.planes, 1, self.stride, act=False,
+                                  dtype=self.dtype, name="downsample")(x, train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """ResNeXt bottleneck with expansion=1 (parity: resblock.py:67-122 with
+    Bottleneck.expansion=1, groups=32, width_per_group=4 as set by
+    PyramidFusion, pyramid_fuse.py:71-79)."""
+    planes: int
+    stride: int = 1
+    groups: int = 32
+    base_width: int = 4
+    expansion: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out_ch = self.planes * self.expansion
+        identity = x
+        out = ConvBNReLU(width, 1, 1, dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBNReLU(width, 3, self.stride, groups=self.groups,
+                         dtype=self.dtype, name="conv2")(out, train)
+        out = ConvBNReLU(out_ch, 1, 1, act=False, dtype=self.dtype,
+                         name="conv3")(out, train)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            identity = ConvBNReLU(out_ch, 1, self.stride, act=False,
+                                  dtype=self.dtype, name="downsample")(x, train)
+        return nn.relu(out + identity)
+
+
+class ResNetModified(nn.Module):
+    """Stack of residual stages returning every stage's output.
+
+    Parity: sub_modules/resblock.py:125-225 (no stem; stage i = layer_nums[i]
+    blocks at layer_strides[i] with num_filters[i] channels).
+    """
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+    block: str = "basic"            # "basic" | "bottleneck"
+    groups: int = 32
+    base_width: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for i, (n, s, f) in enumerate(
+            zip(self.layer_nums, self.layer_strides, self.num_filters)
+        ):
+            for b in range(n):
+                cls = BasicBlock if self.block == "basic" else Bottleneck
+                kwargs = dict(planes=f, stride=s if b == 0 else 1,
+                              dtype=self.dtype, name=f"layer{i}_block{b}")
+                if self.block == "bottleneck":
+                    kwargs.update(groups=self.groups, base_width=self.base_width)
+                x = cls(**kwargs)(x, train)
+            outs.append(x)
+        return tuple(outs)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over channel dim with an element validity mask.
+
+    Used by the pillar feature net where padded pillar slots must not skew
+    batch statistics (the reference normalizes over exactly the real voxels
+    because its shapes are dynamic; our static padding needs the mask).
+    """
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        """x: (..., C); mask: broadcastable to x[..., 0] validity."""
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        if train:
+            m = mask[..., None].astype(jnp.float32)
+            cnt = jnp.maximum(m.sum(), 1.0)
+            xf = x.astype(jnp.float32) * m
+            mean = xf.sum(axis=tuple(range(x.ndim - 1))) / cnt
+            var = ((xf - mean) ** 2 * m).sum(axis=tuple(range(x.ndim - 1))) / cnt
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+def jax_rsqrt(x):
+    import jax
+    return jax.lax.rsqrt(x)

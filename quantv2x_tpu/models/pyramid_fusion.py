@@ -1,0 +1,93 @@
+"""Pyramid multiscale fusion with occupancy-weighted agent mixing (flax).
+
+Parity: fuse_modules/pyramid_fuse.py:17-180 —
+  - ResNeXt (Bottleneck, expansion=1, groups=32, width 4) multiscale trunk;
+  - per-level 1x1 occupancy head; score = sigmoid(occ) + 1e-4;
+  - every agent's feature/score warped into the ego frame with the
+    normalized affine matrix; masked softmax over agents; weighted sum;
+  - per-level deconv decode + concat (inherited ResNetBEVBackbone behavior).
+
+TPU-first: agents live on a padded axis (B, L, H, W, C) with an agent mask
+instead of the reference's record_len-regrouped ragged batch; the masked
+softmax replaces the reference's -inf/masked_fill/NaN-scrub dance
+(pyramid_fuse.py:53-57) with a clean jnp.where formulation.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quantv2x_tpu.models.bev_backbone import ResNetBEVBackbone
+from quantv2x_tpu.ops.warp_affine import warp_affine_batch
+
+
+def weighted_fuse(feats, scores, agent_mask, affine_ego, align_corners=False):
+    """Fuse one pyramid level across agents.
+
+    feats: (L, h, w, C) agent features (agent frames);
+    scores: (L, h, w, 1) positive scores;
+    agent_mask: (L,) bool; affine_ego: (L, 2, 3) theta mapping ego->agent
+    (row i=ego of the normalized pairwise matrix).
+    Returns (h, w, C) fused map in the ego frame.
+    """
+    L = feats.shape[0]
+    feats_ego = warp_affine_batch(feats, affine_ego, align_corners)
+    scores_ego = warp_affine_batch(scores, affine_ego, align_corners)
+
+    valid = (scores_ego > 0) & agent_mask[:, None, None, None]
+    logits = jnp.where(valid, scores_ego, -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=0)
+    weights = jnp.where(jnp.isfinite(weights), weights, 0.0)
+    return (feats_ego * weights).sum(axis=0)
+
+
+class PyramidFusion(ResNetBEVBackbone):
+    """Multiscale collaborative fusion backbone (stage: single | collab)."""
+    layer_nums: Sequence[int] = (3, 5, 8)
+    layer_strides: Sequence[int] = (1, 2, 2)
+    num_filters: Sequence[int] = (64, 128, 256)
+    upsample_strides: Sequence[int] = (1, 2, 4)
+    num_upsample_filters: Sequence[int] = (128, 128, 128)
+    block: str = "bottleneck"
+    align_corners: bool = False
+
+    def setup(self):
+        super().setup()
+        self.single_heads = [
+            nn.Conv(1, (1, 1), dtype=self.dtype, name=f"single_head_{i}")
+            for i in range(len(self.layer_nums))
+        ]
+
+    def forward_single(self, x, train: bool = False):
+        """x: (N, H, W, C) -> (final (N, h, w, C'), occ list)."""
+        feats = self.encode(x, train)
+        occ = [self.single_heads[i](feats[i]) for i in range(len(feats))]
+        return self.decode(feats, train), occ
+
+    def forward_collab(self, x, agent_mask, affine_matrix, train: bool = False):
+        """x: (B, L, H, W, C); agent_mask: (B, L);
+        affine_matrix: (B, L, L, 2, 3) normalized pairwise affines
+        (affine_matrix[b, i, j] = theta_{j<-i}).
+
+        Returns (fused (B, h, w, C'), occ list of (B, L, hi, wi, 1))."""
+        B, L, H, W, C = x.shape
+        flat = x.reshape(B * L, H, W, C)
+        feats = self.encode(flat, train)
+        occ_maps = []
+        fused_levels = []
+        theta_ego = affine_matrix[:, 0]  # (B, L, 2, 3): ego row -> each agent
+        for i, f in enumerate(feats):
+            occ = self.single_heads[i](f)                 # (B*L, hi, wi, 1)
+            occ_maps.append(occ.reshape(B, L, *occ.shape[1:]))
+            score = jax.nn.sigmoid(occ) + 1e-4
+            fl = f.reshape(B, L, *f.shape[1:])
+            sl = score.reshape(B, L, *score.shape[1:])
+            fused = jax.vmap(
+                lambda fb, sb, mb, tb: weighted_fuse(
+                    fb, sb, mb, tb, self.align_corners
+                )
+            )(fl, sl, agent_mask, theta_ego)
+            fused_levels.append(fused)
+        return self.decode(tuple(fused_levels), train), occ_maps
