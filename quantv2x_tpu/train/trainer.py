@@ -1,0 +1,133 @@
+"""Training loop: jit'd step, optax Adam + multistep LR, checkpointing.
+
+Parity targets: tools/train.py:45-231 (epoch loop, AMP, best-val tracking)
+and train_utils.py (Adam eps 1e-10, weight decay 1e-4, multistep gamma 0.1 —
+see hypes optimizer/lr_scheduler blocks, e.g. lidar_pyramid.yaml:198-208).
+
+TPU-first: labels are assigned on device inside the jitted step (no CPU
+label workers); data parallelism comes from NamedSharding over a "data" mesh
+axis — the same step function runs on 1 chip or N (see parallel/).
+"""
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from quantv2x_tpu.data import anchors as anc
+from quantv2x_tpu.loss.detection_loss import (
+    LossCfg,
+    detection_loss,
+    pyramid_occupancy_loss,
+)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimCfg:
+    lr: float = 0.002
+    eps: float = 1e-10
+    weight_decay: float = 1e-4
+    lr_milestones: tuple = (15, 25)   # epochs
+    lr_gamma: float = 0.1
+    steps_per_epoch: int = 1000
+    grad_clip: Optional[float] = None
+
+
+def make_optimizer(cfg: OptimCfg):
+    boundaries = {
+        m * cfg.steps_per_epoch: cfg.lr_gamma for m in cfg.lr_milestones
+    }
+    schedule = optax.piecewise_constant_schedule(cfg.lr, boundaries)
+    txs = []
+    if cfg.grad_clip:
+        txs.append(optax.clip_by_global_norm(cfg.grad_clip))
+    txs.append(
+        optax.adamw(schedule, eps=cfg.eps, weight_decay=cfg.weight_decay)
+    )
+    return optax.chain(*txs)
+
+
+def create_train_state(model, rng, sample_batch, optim_cfg: OptimCfg):
+    variables = model.init(rng, sample_batch, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(optim_cfg)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    ), tx
+
+
+def assign_batch_targets(batch, anchor_pack):
+    """vmapped on-device label assignment for a whole batch."""
+    anchors, slot_cls, m_thr, u_thr = anchor_pack
+    return jax.vmap(
+        lambda b, c, m: anc.assign_targets(b, c, m, anchors, slot_cls, m_thr, u_thr)
+    )(batch["gt_boxes"], batch["gt_classes"], batch["gt_mask"])
+
+
+def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
+                    occ_supervision: bool = True):
+    """Returns a jit-compatible (state, batch) -> (state, metrics) function."""
+
+    def loss_fn(params, batch_stats, batch, labels):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, train=True, mutable=["batch_stats"],
+        )
+        total, metrics = detection_loss(out, labels, loss_cfg)
+        if occ_supervision and out.get("occ_maps"):
+            occ = pyramid_occupancy_loss(out["occ_maps"], labels, loss_cfg)
+            total = total + occ
+            metrics = dict(metrics, occ_loss=occ)
+        if "aux_loss" in out:
+            total = total + out["aux_loss"]
+            metrics = dict(metrics, aux_loss=out["aux_loss"])
+        metrics = dict(metrics, total_loss=total)
+        return total, (mutated["batch_stats"], metrics)
+
+    def train_step(state: TrainState, batch):
+        labels = assign_batch_targets(batch, anchor_pack)
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, labels
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model, anchor_pack, loss_cfg: LossCfg):
+    def eval_step(state: TrainState, batch):
+        labels = assign_batch_targets(batch, anchor_pack)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False,
+        )
+        total, metrics = detection_loss(out, labels, loss_cfg)
+        return dict(metrics, total_loss=total), out
+
+    return eval_step

@@ -1,0 +1,60 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantv2x_tpu.data import anchors as anc
+from quantv2x_tpu.data.pipeline import frame_to_batch
+from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+from quantv2x_tpu.data.voxelizer import VoxelCfg
+from quantv2x_tpu.loss.detection_loss import LossCfg
+from quantv2x_tpu.models.collab_model import ModelCfg, PyramidCollabModel
+from quantv2x_tpu.train.trainer import (
+    OptimCfg,
+    create_train_state,
+    make_train_step,
+)
+
+RANGE = (-19.2, -19.2, -3.0, 19.2, 19.2, 1.0)
+VOXEL = VoxelCfg(lidar_range=RANGE, voxel_size=(0.4, 0.4, 4.0),
+                 max_points_per_voxel=8, max_voxels=1024)
+MODEL = ModelCfg(voxel=VOXEL, max_cav=2)
+ANCHOR = anc.AnchorGridCfg(lidar_range=RANGE, voxel_size=(0.4, 0.4, 4.0),
+                           feature_stride=2, classes=anc.V2XREAL_CLASSES)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    frame = make_frame(SyntheticCfg(lidar_range=RANGE, num_agents=2,
+                                    num_objects=5, points_per_agent=4000,
+                                    seed=7))
+    batch = frame_to_batch(frame, VOXEL, max_cav=2)
+    model = PyramidCollabModel(MODEL)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), batch,
+        OptimCfg(steps_per_epoch=10),
+    )
+    anchor_pack = anc.generate_anchors(ANCHOR)
+    step = jax.jit(make_train_step(model, tx, anchor_pack, LossCfg()))
+    return batch, state, step
+
+
+def test_loss_decreases_and_updates(setup):
+    batch, state, step = setup
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 5
+    # overfitting a single batch must reduce loss
+    assert losses[-1] < losses[0]
+    assert float(metrics["num_pos"]) > 0
+
+
+def test_batch_stats_updated(setup):
+    batch, state, step = setup
+    before = jax.tree.leaves(state.batch_stats)[0]
+    state2, _ = step(state, batch)
+    after = jax.tree.leaves(state2.batch_stats)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
