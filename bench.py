@@ -1,0 +1,100 @@
+"""End-to-end benchmark: cooperative-detection frames/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Pipeline measured (batch=1 frame, 2 agents, full V2X-Real grid 704x200):
+voxelized inputs -> pillar VFE -> BEV scatter -> backbone -> pyramid
+weighted fusion -> shrink -> heads -> decode+NMS, as one jitted program.
+
+Baseline: the only in-repo reference number is the HEAL-era Pyramid
+("STTR") 24.0 FPS on an unspecified GPU
+(/root/reference/opencood/visualization/ap_vs_fps_scatter_plot.py:19-27);
+vs_baseline = fps / 24.0. BASELINE.md records that QuantV2X publishes no
+reproducible numbers in-repo.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from quantv2x_tpu.data import anchors as anc
+    from quantv2x_tpu.data.pipeline import frame_to_batch
+    from quantv2x_tpu.data.postprocess import PostprocessCfg, decode_detections
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.data.voxelizer import VoxelCfg
+    from quantv2x_tpu.models.collab_model import ModelCfg, PyramidCollabModel
+
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    lidar_range = (
+        (-38.4, -38.4, -3.0, 38.4, 38.4, 1.0) if small
+        else (-140.8, -40.0, -3.0, 140.8, 40.0, 1.0)
+    )
+    voxel = VoxelCfg(
+        lidar_range=lidar_range, voxel_size=(0.4, 0.4, 4.0),
+        max_points_per_voxel=32,
+        max_voxels=4096 if small else 24000,
+    )
+    max_cav = 2
+    mcfg = ModelCfg(voxel=voxel, max_cav=max_cav, dtype="bfloat16")
+    acfg = anc.AnchorGridCfg(
+        lidar_range=lidar_range, voxel_size=(0.4, 0.4, 4.0),
+        feature_stride=2, classes=anc.V2XREAL_CLASSES,
+    )
+    frame = make_frame(SyntheticCfg(
+        lidar_range=lidar_range, num_agents=max_cav, num_objects=12,
+        points_per_agent=30000, seed=0,
+    ))
+    batch = frame_to_batch(frame, voxel, max_cav=max_cav)
+    model = PyramidCollabModel(mcfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    anchors = anc.generate_anchors(acfg)[0]
+    pp_cfg = PostprocessCfg(gt_range=lidar_range, pre_nms_top_k=256,
+                            max_detections=150)
+
+    @jax.jit
+    def e2e(variables, batch):
+        out = model.apply(variables, batch, train=False)
+        S = mcfg.anchor_num * mcfg.num_class
+        det = decode_detections(
+            out["cls_preds"][0], out["reg_preds"][0], anchors, pp_cfg,
+            dir_preds=out["dir_preds"][0],
+        )
+        return det
+
+    # compile + warmup
+    t0 = time.time()
+    det = jax.block_until_ready(e2e(variables, batch))
+    compile_s = time.time() - t0
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        det = jax.block_until_ready(e2e(variables, batch))
+    dt = (time.time() - t0) / iters
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "fp_bf16_e2e_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 24.0, 3),
+        "detail": {
+            "compile_s": round(compile_s, 1),
+            "latency_ms": round(dt * 1e3, 2),
+            "grid": list(voxel.grid_size),
+            "agents": max_cav,
+            "backend": jax.default_backend(),
+            "num_detections": int(np.asarray(det["valid"]).sum()),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

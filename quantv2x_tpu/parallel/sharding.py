@@ -1,0 +1,71 @@
+"""Multi-chip mapping: device mesh, shardings, and the agent->chip layout.
+
+Replaces the reference's NCCL DDP (tools/train_ddp.py:34-110,
+tools/multi_gpu_utils.py:16-38) and its codebook broadcast/barrier
+(codebook.py:102-104,353-356) with GSPMD: a named Mesh + NamedSharding
+annotations; XLA inserts the all-reduce/all-gather collectives over ICI.
+
+Mesh axes:
+  data  — batch (frames) data parallelism; gradients all-reduce over it.
+  agent — the V2X dimension: each collaborating agent's encoder runs on its
+          own chip slice; the fusion step's gather of BEV features across
+          the agent axis is the on-TPU analogue of V2X communication
+          (BASELINE.json north star).
+
+For B frames x L agents on D chips: shard (B, L, ...) inputs as
+P("data", "agent") — per-agent encoder compute is fully parallel, and the
+weighted fusion induces an all-gather of the (compressed) BEV maps along
+"agent", which XLA schedules over ICI against encoder compute.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_agent: int = 1, devices=None):
+    """Build a (data, agent) mesh from available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_agent
+    assert n_data * n_agent <= n, f"need {n_data * n_agent} devices, have {n}"
+    arr = np.asarray(devices[: n_data * n_agent]).reshape(n_data, n_agent)
+    return Mesh(arr, axis_names=("data", "agent"))
+
+
+def batch_sharding(mesh: Mesh):
+    """Shardings for the collab batch dict: frames over data, agents over agent."""
+    def spec_for(path_leaf_ndim):
+        name, ndim = path_leaf_ndim
+        if name in ("gt_boxes", "gt_classes", "gt_mask"):
+            return P("data")
+        if ndim >= 2:
+            return P("data", "agent")
+        return P("data")
+    return spec_for
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a batch dict onto the mesh with (data, agent) sharding."""
+    out = {}
+    for k, v in batch.items():
+        if k in ("gt_boxes", "gt_classes", "gt_mask") or v.ndim < 2:
+            spec = P("data")
+        elif k == "pairwise_t_matrix":
+            # (B, L, L, 4, 4): both L axes participate in fusion; keep agent
+            # axis replicated to avoid resharding inside the warp
+            spec = P("data")
+        else:
+            spec = P("data", "agent")
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (params) across the mesh."""
+    return jax.device_put(
+        tree, NamedSharding(mesh, P())
+    )

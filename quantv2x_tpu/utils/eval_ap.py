@@ -1,0 +1,102 @@
+"""Detection AP evaluation (VOC-2010 AP over BEV polygon IoU).
+
+Exact parity with the reference's evaluator
+(/root/reference/opencood/utils/eval_utils_mc.py:15-159):
+  - per frame: detections sorted by score desc, greedily matched to GT by
+    max BEV polygon IoU, matched GT removed;
+  - TP/FP lists are accumulated in FRAME order (the reference does not
+    re-sort globally by score before building the PR curve — we reproduce
+    that so AP numbers are comparable);
+  - VOC-2010 interpolation (monotone precision envelope).
+
+Multi-class: stats keyed per class; AP at IoU 0.3/0.5/0.7 + mAP.
+"""
+
+import numpy as np
+
+from quantv2x_tpu.utils import box_utils as bu
+
+DEFAULT_IOUS = (0.3, 0.5, 0.7)
+
+
+def new_result_stat(num_classes: int = 3, ious=DEFAULT_IOUS):
+    return {
+        c: {t: {"tp": [], "fp": [], "gt": 0} for t in ious}
+        for c in range(1, num_classes + 1)
+    }
+
+
+def accumulate_frame(result_stat, det_corners, det_scores, det_labels,
+                     det_valid, gt_corners, gt_labels, gt_valid,
+                     ious=DEFAULT_IOUS):
+    """Update stats with one frame (padded numpy/jnp arrays accepted)."""
+    det_corners = np.asarray(det_corners)
+    det_scores = np.asarray(det_scores)
+    det_labels = np.asarray(det_labels)
+    det_valid = np.asarray(det_valid).astype(bool)
+    gt_corners = np.asarray(gt_corners)
+    gt_labels = np.asarray(gt_labels)
+    gt_valid = np.asarray(gt_valid).astype(bool)
+
+    for cls in result_stat.keys():
+        dsel = det_valid & (det_labels == cls)
+        gsel = gt_valid & (gt_labels == cls)
+        dc, ds = det_corners[dsel], det_scores[dsel]
+        gc = gt_corners[gsel]
+        order = np.argsort(-ds)
+        dc, ds = dc[order], ds[order]
+        n_det, n_gt = len(dc), len(gc)
+        for t in ious:
+            result_stat[cls][t]["gt"] += int(n_gt)
+        if n_det == 0:
+            continue
+        if n_gt == 0:
+            for t in ious:
+                result_stat[cls][t]["fp"] += [1] * n_det
+                result_stat[cls][t]["tp"] += [0] * n_det
+            continue
+        iou_mat = np.asarray(bu.iou_matrix_polygon(dc, gc))  # (n_det, n_gt)
+        for t in ious:
+            alive = np.ones(n_gt, bool)
+            for i in range(n_det):
+                ious_i = np.where(alive, iou_mat[i], -1.0)
+                j = int(np.argmax(ious_i))
+                if ious_i[j] >= t:
+                    result_stat[cls][t]["tp"].append(1)
+                    result_stat[cls][t]["fp"].append(0)
+                    alive[j] = False
+                else:
+                    result_stat[cls][t]["tp"].append(0)
+                    result_stat[cls][t]["fp"].append(1)
+
+
+def voc_ap(rec, prec):
+    """VOC-2010 AP (parity: eval_utils_mc.voc_ap:15-38)."""
+    mrec = np.concatenate([[0.0], rec, [1.0]])
+    mpre = np.concatenate([[0.0], prec, [0.0]])
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0] + 1
+    return float(np.sum((mrec[idx] - mrec[idx - 1]) * mpre[idx]))
+
+
+def calculate_ap(stat):
+    tp = np.cumsum(stat["tp"]).astype(np.float64)
+    fp = np.cumsum(stat["fp"]).astype(np.float64)
+    gt = max(stat["gt"], 1)
+    if len(tp) == 0:
+        return 0.0
+    rec = tp / gt
+    prec = tp / np.maximum(tp + fp, 1e-12)
+    return voc_ap(rec, prec)
+
+
+def summarize(result_stat, ious=DEFAULT_IOUS):
+    """-> {class: {iou: ap}}, plus 'mAP' row."""
+    out = {}
+    for cls, stats in result_stat.items():
+        out[cls] = {t: calculate_ap(stats[t]) for t in ious}
+    out["mAP"] = {
+        t: float(np.mean([out[c][t] for c in result_stat.keys()])) for t in ious
+    }
+    return out
