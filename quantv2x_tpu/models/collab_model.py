@@ -64,10 +64,10 @@ class ShrinkConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(self.dim, (3, 3), padding="SAME",
-                            dtype=self.dtype, name="conv1")(x))
-        x = nn.relu(nn.Conv(self.dim, (3, 3), padding="SAME",
-                            dtype=self.dtype, name="conv2")(x))
+        x = ConvBNReLU(self.dim, 3, use_bn=False, use_bias=True,
+                       dtype=self.dtype, name="conv1")(x)
+        x = ConvBNReLU(self.dim, 3, use_bn=False, use_bias=True,
+                       dtype=self.dtype, name="conv2")(x)
         return x
 
 

@@ -1,0 +1,238 @@
+"""Post-training quantization engine: functional W8A8 over flax models.
+
+Re-designs the reference's nn.Module-surgery PTQ
+(opencood/quant/quant_model.py:7-147, quant_layer.py:349-497) as pure
+functional transforms:
+
+  - **weights**: every `kernel` leaf in the param tree (except skip-listed
+    scopes, e.g. the codebook — parity with specials_unquantized,
+    quant_block.py:1573-1615) gets per-output-channel scales and is
+    fake-quantized by `quantize_weights`; AdaRound later swaps the round()
+    for learned rounding on the same tree;
+  - **activations**: `nn.intercept_methods` wraps the quantization-unit
+    modules (ConvBNReLU / DeconvBNReLU / PFNLayer / head convs). In
+    *observe* mode each unit sows its output min/max; in *quantized* mode
+    each unit's output is fake-quantized with calibrated per-tensor scales.
+    Act quant after the fused conv+BN+ReLU matches the reference QuantModule
+    placement (quant_layer.py:400-420). Quantizing after the PFN max-pool is
+    exact: max of grid points is a grid point.
+  - detection-head outputs stay unquantized (parity:
+    disable_network_output_quantization, quant_model.py:129-136).
+
+The same interceptor machinery drives calibration capture for AdaRound
+block reconstruction (quant/adaround.py).
+"""
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quantv2x_tpu.models.layers import ConvBNReLU, DeconvBNReLU
+from quantv2x_tpu.models.pillar_encoder import PFNLayer
+from quantv2x_tpu.quant.quantizer import ACT_SPEC, WEIGHT_SPEC, QuantSpec
+
+# module types that form activation-quantization units
+UNIT_TYPES = (ConvBNReLU, DeconvBNReLU, PFNLayer)
+# raw layers quantized directly when not inside a unit (heads etc.)
+RAW_TYPES = (nn.Conv, nn.ConvTranspose, nn.Dense)
+# submodule names of composite units — raw layers with these names are
+# already covered by their parent unit
+_WRAPPED_NAMES = {"conv", "deconv", "linear"}
+# params under these path fragments stay full precision
+DEFAULT_SKIP_SCOPES = ("codebook",)
+# act-quant disabled for network outputs (cls/reg/dir)
+DEFAULT_OUTPUT_HEADS = ("cls_head", "reg_head", "dir_head")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(p) for p in path)
+
+
+def _in_scope(path_s: str, scopes: Sequence[str]) -> bool:
+    return any(s in path_s for s in scopes)
+
+
+# ---------------------------------------------------------------------------
+# Weights
+# ---------------------------------------------------------------------------
+
+def quantize_weights(params, spec: QuantSpec = WEIGHT_SPEC,
+                     skip_scopes: Sequence[str] = DEFAULT_SKIP_SCOPES):
+    """Fake-quantize all kernel leaves; returns (qparams, scales dict).
+
+    scales: {path_str: (delta, zero_point)} aligned with kernel leaves.
+    """
+    scales = {}
+
+    def visit(path, leaf):
+        path_s = _path_str([p.key for p in path])
+        if path_s.endswith("kernel") and not _in_scope(path_s, skip_scopes):
+            delta, zp = spec.init(leaf)
+            scales[path_s] = (delta, zp)
+            return spec.apply(leaf, delta, zp)
+        return leaf
+
+    qparams = jax.tree_util.tree_map_with_path(visit, params)
+    return qparams, scales
+
+
+def quantize_weights_with_scales(params, scales,
+                                 spec: QuantSpec = WEIGHT_SPEC):
+    """Re-apply fake quant using precomputed scales (for AdaRound replay)."""
+    def visit(path, leaf):
+        path_s = _path_str([p.key for p in path])
+        if path_s in scales:
+            delta, zp = scales[path_s]
+            return spec.apply(leaf, delta, zp)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+# ---------------------------------------------------------------------------
+# Activation interception
+# ---------------------------------------------------------------------------
+
+def _is_unit(module, path_s, output_heads):
+    if isinstance(module, UNIT_TYPES):
+        return True
+    if isinstance(module, RAW_TYPES) and module.name not in _WRAPPED_NAMES:
+        return True
+    return False
+
+
+@dataclasses.dataclass
+class PTQConfig:
+    act_spec: QuantSpec = ACT_SPEC
+    weight_spec: QuantSpec = WEIGHT_SPEC
+    skip_scopes: tuple = DEFAULT_SKIP_SCOPES
+    output_heads: tuple = DEFAULT_OUTPUT_HEADS
+
+
+def make_observe_interceptor(cfg: PTQConfig):
+    """Interceptor that sows each unit's output (min, max) into 'quant_obs'."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        module = context.module
+        path_s = _path_str(module.path)
+        if (
+            context.method_name == "__call__"
+            and _is_unit(module, path_s, cfg.output_heads)
+            and not _in_scope(path_s, cfg.skip_scopes)
+            and not _in_scope(path_s, cfg.output_heads)
+            and isinstance(out, jax.Array)
+        ):
+            module.sow(
+                "quant_obs", "range",
+                (out.min().astype(jnp.float32), out.max().astype(jnp.float32)),
+                init_fn=lambda: (jnp.float32(jnp.inf), jnp.float32(-jnp.inf)),
+                reduce_fn=lambda a, b: (
+                    jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])
+                ),
+            )
+        return out
+
+    return interceptor
+
+
+def make_quant_interceptor(cfg: PTQConfig, act_scales: Dict[str, Tuple]):
+    """Interceptor applying per-tensor act fake-quant at each unit output."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        module = context.module
+        path_s = _path_str(module.path)
+        if context.method_name == "__call__" and path_s in act_scales and \
+                isinstance(out, jax.Array):
+            delta, zp = act_scales[path_s]
+            out = cfg.act_spec.apply(out, delta, zp).astype(out.dtype)
+        return out
+
+    return interceptor
+
+
+def observe_activations(model, variables, batches, cfg: PTQConfig,
+                        apply_fn: Optional[Callable] = None):
+    """Run calibration batches, returning {path: (min, max)} ranges.
+
+    apply_fn(variables, batch) defaults to model.apply(train=False).
+    """
+    ranges: Dict[str, Tuple[float, float]] = {}
+
+    def run(batch):
+        with nn.intercept_methods(make_observe_interceptor(cfg)):
+            if apply_fn is not None:
+                _, mut = apply_fn(variables, batch)
+            else:
+                _, mut = model.apply(
+                    variables, batch, train=False, mutable=["quant_obs"]
+                )
+        return mut["quant_obs"]
+
+    run_j = jax.jit(run)
+    for batch in batches:
+        obs = jax.device_get(run_j(batch))
+        flat = _flatten_obs(obs)
+        for path_s, (lo, hi) in flat.items():
+            if path_s in ranges:
+                plo, phi = ranges[path_s]
+                ranges[path_s] = (min(plo, lo), max(phi, hi))
+            else:
+                ranges[path_s] = (float(lo), float(hi))
+    return ranges
+
+
+def _flatten_obs(obs_tree, prefix=()):
+    """quant_obs collection -> {module_path_str: (min, max)}."""
+    out = {}
+    for k, v in obs_tree.items():
+        if k == "range":
+            # v is a tuple of sown values; our reduce_fn keeps one pair
+            pair = v[0] if isinstance(v, tuple) and isinstance(v[0], tuple) \
+                else v
+            out[_path_str(prefix)] = (float(pair[0]), float(pair[1]))
+        elif isinstance(v, dict):
+            out.update(_flatten_obs(v, prefix + (k,)))
+    return out
+
+
+def act_scales_from_ranges(ranges, cfg: PTQConfig):
+    """Per-tensor (delta, zp) from observed ranges."""
+    from quantv2x_tpu.quant.quantizer import _delta_zp_from_range
+
+    scales = {}
+    for path_s, (lo, hi) in ranges.items():
+        d, zp = _delta_zp_from_range(
+            jnp.float32(lo), jnp.float32(hi), cfg.act_spec.n_bits
+        )
+        scales[path_s] = (d, zp)
+    return scales
+
+
+def make_quantized_apply(model, cfg: PTQConfig):
+    """Returns qapply(qvariables, act_scales, batch) running W8A8 inference."""
+
+    def qapply(qvariables, act_scales, batch):
+        with nn.intercept_methods(make_quant_interceptor(cfg, act_scales)):
+            return model.apply(qvariables, batch, train=False)
+
+    return qapply
+
+
+def ptq_calibrate(model, variables, calib_batches, cfg: PTQConfig = None):
+    """One-call W8A8 PTQ: weight scales + act ranges -> quantized apply.
+
+    Returns (qvariables, act_scales, qapply).
+    """
+    cfg = cfg or PTQConfig()
+    qparams, w_scales = quantize_weights(
+        variables["params"], cfg.weight_spec, cfg.skip_scopes
+    )
+    qvariables = dict(variables, params=qparams)
+    ranges = observe_activations(model, variables, calib_batches, cfg)
+    act_scales = act_scales_from_ranges(ranges, cfg)
+    return qvariables, act_scales, make_quantized_apply(model, cfg)

@@ -1,0 +1,119 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantv2x_tpu.quant import quantizer as qz
+from quantv2x_tpu.quant.ptq import PTQConfig, ptq_calibrate
+
+
+class TestQuantizerMath:
+    def test_fake_quant_roundtrip_exact_grid(self):
+        delta, zp = jnp.float32(0.1), jnp.float32(5.0)
+        x = (jnp.arange(10, dtype=jnp.float32) - 5) * 0.1
+        y = qz.fake_quant(x, delta, zp, 8)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+    def test_quant_error_bounded_by_half_delta(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1000,))
+        delta, zp = qz.init_minmax(x, 8)
+        y = qz.fake_quant(x, delta, zp, 8)
+        assert float(jnp.abs(y - x).max()) <= float(delta) / 2 + 1e-6
+
+    def test_per_channel_beats_per_tensor(self):
+        # one channel 100x larger: per-channel must quantize better
+        rng = jax.random.PRNGKey(1)
+        w = jax.random.normal(rng, (3, 3, 8, 16))
+        w = w.at[..., 0].mul(100.0)
+        d_t, z_t = qz.init_minmax(w, 8)
+        d_c, z_c = qz.init_minmax(w, 8, per_channel_axis=3)
+        err_t = float(jnp.mean((qz.fake_quant(w, d_t, z_t, 8) - w) ** 2))
+        err_c = float(jnp.mean((qz.fake_quant(w, d_c, z_c, 8) - w) ** 2))
+        assert err_c < err_t / 10
+
+    def test_mse_beats_minmax_on_outliers(self):
+        rng = jax.random.PRNGKey(2)
+        x = jax.random.normal(rng, (4096,))
+        x = x.at[0].set(80.0)  # single huge outlier
+        d_mm, z_mm = qz.init_minmax(x, 8)
+        d_ms, z_ms = qz.init_mse(x, 8)
+        e_mm = float(jnp.mean(jnp.abs(qz.fake_quant(x, d_mm, z_mm, 8) - x) ** 2.4))
+        e_ms = float(jnp.mean(jnp.abs(qz.fake_quant(x, d_ms, z_ms, 8) - x) ** 2.4))
+        assert e_ms < e_mm
+
+    def test_int_roundtrip(self):
+        x = jax.random.normal(jax.random.PRNGKey(3), (64,))
+        delta, zp = qz.init_minmax(x, 8)
+        xi = qz.quantize_int(x, delta, zp, 8)
+        assert xi.dtype == jnp.uint8
+        y = qz.dequantize_int(xi, delta, zp)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(qz.fake_quant(x, delta, zp, 8)), atol=1e-6
+        )
+
+    def test_ste_gradient(self):
+        f = lambda x: qz.fake_quant(x, jnp.float32(0.1), jnp.float32(0.0), 8).sum()
+        g = jax.grad(f)(jnp.array([0.33]))
+        np.testing.assert_allclose(np.asarray(g), [1.0], atol=1e-6)
+
+
+class TestEndToEndPTQ:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from quantv2x_tpu.data.pipeline import frame_to_batch
+        from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+        from quantv2x_tpu.data.voxelizer import VoxelCfg
+        from quantv2x_tpu.models.collab_model import ModelCfg, PyramidCollabModel
+
+        rng_range = (-19.2, -19.2, -3.0, 19.2, 19.2, 1.0)
+        voxel = VoxelCfg(lidar_range=rng_range, voxel_size=(0.4, 0.4, 4.0),
+                         max_points_per_voxel=8, max_voxels=1024)
+        model = PyramidCollabModel(ModelCfg(voxel=voxel, max_cav=2))
+        batches = [
+            frame_to_batch(
+                make_frame(SyntheticCfg(lidar_range=rng_range, num_agents=2,
+                                        num_objects=4, points_per_agent=3000,
+                                        seed=s)),
+                voxel, max_cav=2,
+            )
+            for s in range(3)
+        ]
+        variables = model.init(jax.random.PRNGKey(0), batches[0], train=False)
+        return model, variables, batches
+
+    def test_ptq_preserves_predictions_approximately(self, setup):
+        model, variables, batches = setup
+        qvars, act_scales, qapply = ptq_calibrate(
+            model, variables, batches[:2]
+        )
+        fp = model.apply(variables, batches[2], train=False)
+        q = qapply(qvars, act_scales, batches[2])
+        fp_cls = np.asarray(fp["cls_preds"])
+        q_cls = np.asarray(q["cls_preds"])
+        # W8A8 should track FP closely on in-distribution data
+        err = np.abs(fp_cls - q_cls).mean()
+        ref = np.abs(fp_cls).mean() + 1e-6
+        assert err / ref < 0.25, f"relative error {err/ref:.3f} too high"
+        corr = np.corrcoef(fp_cls.ravel(), q_cls.ravel())[0, 1]
+        assert corr > 0.99
+
+    def test_act_scales_cover_units(self, setup):
+        model, variables, batches = setup
+        qvars, act_scales, qapply = ptq_calibrate(model, variables, batches[:1])
+        paths = list(act_scales)
+        # encoder, backbone, pyramid, shrink units observed
+        assert any("vfe" in p for p in paths)
+        assert any("backbone" in p for p in paths)
+        assert any("pyramid" in p for p in paths)
+        assert any("shrink" in p for p in paths)
+        # detection heads NOT act-quantized
+        assert not any("cls_head" in p or "reg_head" in p or "dir_head" in p
+                       for p in paths)
+
+    def test_weight_scales_skip_codebook(self, setup):
+        from quantv2x_tpu.quant.ptq import quantize_weights
+
+        model, variables, batches = setup
+        _, scales = quantize_weights(variables["params"])
+        assert len(scales) > 20
+        assert not any("codebook" in p for p in scales)
