@@ -1,0 +1,281 @@
+"""AdaRound learned rounding + LSQ activation-step reconstruction.
+
+Parity targets:
+  - AdaRoundQuantizer (opencood/quant/adaptive_rounding.py:6-75): rectified
+    sigmoid h(alpha) = clip(sigmoid(alpha)(zeta-gamma)+gamma, 0, 1) with
+    zeta=1.1, gamma=-0.1; alpha initialized so h(alpha) equals the float
+    rounding remainder; deploy uses hard h(alpha) >= 0.5;
+  - per-layer/block reconstruction loop (opencood/quant/layer_recon.py,
+    block_recon.py:93-232): Adam on alpha (and LSQ on the activation step,
+    lr 4e-5) minimizing Lp(2) reconstruction + rounding relaxation with
+    linearly decaying temperature b: 20 -> 2 after 20% warmup, 5000 iters
+    (defaults: tools/inference_mc_quant.py:269-298).
+
+Functional design: each quantization unit (ConvBNReLU / PFNLayer / head
+conv) is captured via interception — its input batch (from the
+quantized-so-far model), its FP output, a detached clone of the module, and
+its variable subtree — then its kernels' rounding masks are optimized in
+isolation and written back into the quantized param tree. Unit-sequential
+reconstruction follows the reference's recon_model recursion
+(inference_mc_quant.py:458-536).
+"""
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from quantv2x_tpu.quant import ptq as ptq_mod
+from quantv2x_tpu.quant.quantizer import QuantSpec
+
+ZETA, GAMMA = 1.1, -0.1
+
+
+def rect_sigmoid(alpha):
+    return jnp.clip(jax.nn.sigmoid(alpha) * (ZETA - GAMMA) + GAMMA, 0.0, 1.0)
+
+
+def alpha_init(w, delta):
+    """alpha s.t. h(alpha) = frac(w/delta) (adaptive_rounding.py:52-60)."""
+    rest = w / delta - jnp.floor(w / delta)
+    rest = jnp.clip(rest, 1e-4, 1 - 1e-4)
+    return -jnp.log((ZETA - GAMMA) / (rest - GAMMA) - 1)
+
+
+def adaround_weight(w, delta, zp, n_bits: int, alpha, hard: bool):
+    """Quantize weight with learned rounding."""
+    n_levels = 2 ** n_bits
+    floor = jnp.floor(w / delta)
+    r = (rect_sigmoid(alpha) >= 0.5).astype(w.dtype) if hard else rect_sigmoid(alpha)
+    xq = jnp.clip(floor + r + zp, 0, n_levels - 1)
+    return (xq - zp) * delta
+
+
+def round_loss(alpha, beta):
+    """Rounding relaxation: sum(1 - |2h-1|^beta) (block_recon LossFunction)."""
+    h = rect_sigmoid(alpha)
+    return jnp.sum(1.0 - jnp.abs(2 * h - 1.0) ** beta)
+
+
+@dataclasses.dataclass
+class ReconCfg:
+    iters: int = 800                 # reference default 5000; tests use less
+    round_weight: float = 0.01
+    b_start: float = 20.0
+    b_end: float = 2.0
+    warmup: float = 0.2
+    alpha_lr: float = 1e-2           # reference 1e-3..1e-2 range
+    act_lr: float = 4e-5             # LSQ lr (inference_mc_quant.py:287)
+    batch_size: int = 0              # 0 = use all captured samples each step
+
+
+# ---------------------------------------------------------------------------
+# Unit capture
+# ---------------------------------------------------------------------------
+
+def capture_units(model, variables, qvariables, act_scales, batches,
+                  cfg: ptq_mod.PTQConfig):
+    """For every quantization unit, capture (module clone, quant-input list,
+    fp-output list). Inputs come from the quantized model (reference's
+    quant-input convention), outputs from the FP model."""
+    store: Dict[str, dict] = {}
+
+    def make_cap(kind, use_quant):
+        def interceptor(next_fn, args, kwargs, context):
+            module = context.module
+            path_s = ptq_mod._path_str(module.path)
+            is_unit = (
+                context.method_name == "__call__"
+                and ptq_mod._is_unit(module, path_s, cfg.output_heads)
+                and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
+            )
+            if is_unit and kind == "in":
+                ent = store.setdefault(
+                    path_s, {"inputs": [], "outputs": [], "module": None,
+                             "extra_args": None},
+                )
+                ent["module"] = module.clone(parent=None)
+                ent["inputs"].append(jax.device_get(args[0]))
+                ent["extra_args"] = args[1:]
+            out = next_fn(*args, **kwargs)
+            if is_unit and kind == "out":
+                store.setdefault(
+                    path_s, {"inputs": [], "outputs": [], "module": None,
+                             "extra_args": None},
+                )["outputs"].append(jax.device_get(out))
+            if (is_unit and kind == "in" and path_s in act_scales):
+                # keep propagating quantized activations downstream
+                delta, zp = act_scales[path_s]
+                out = cfg.act_spec.apply(out, delta, zp).astype(out.dtype)
+            return out
+
+        return interceptor
+
+    for batch in batches:
+        with nn.intercept_methods(make_cap("in", True)):
+            model.apply(qvariables, batch, train=False)
+        with nn.intercept_methods(make_cap("out", False)):
+            model.apply(variables, batch, train=False)
+    return store
+
+
+# ---------------------------------------------------------------------------
+# Per-unit optimization
+# ---------------------------------------------------------------------------
+
+def _subtree(tree, path: Sequence[str]):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _set_subtree(tree, path: Sequence[str], value):
+    if not path:
+        return value
+    return dict(tree, **{path[0]: _set_subtree(tree[path[0]], path[1:], value)})
+
+
+def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
+                     act_scale, inputs, fp_outputs, extra_args,
+                     spec_w: QuantSpec, spec_a: QuantSpec, rcfg: ReconCfg,
+                     rng):
+    """Optimize rounding masks (+ act step) for one unit.
+
+    fp_params: unit's FP param subtree. w_scales_local: {rel_path: (d, zp)}.
+    Returns (hard-rounded quantized unit params, learned act (delta, zp)).
+    """
+    flat_params = jax.tree_util.tree_flatten_with_path(fp_params)[0]
+    kernel_items = [
+        ("/".join(k.key for k in path), leaf)
+        for path, leaf in flat_params
+        if path[-1].key == "kernel"
+    ]
+    alphas = {
+        p: alpha_init(w, w_scales_local[p][0]) for p, w in kernel_items
+        if p in w_scales_local
+    }
+    act_delta = act_scale[0] if act_scale is not None else None
+    act_zp = act_scale[1] if act_scale is not None else None
+
+    x = jnp.asarray(np.concatenate(inputs, axis=0))
+    y_fp = jnp.asarray(np.concatenate(fp_outputs, axis=0))
+
+    def unit_apply(params_q, x_in):
+        vars_in = {"params": params_q}
+        if batch_stats:
+            vars_in["batch_stats"] = batch_stats
+        return unit.apply(vars_in, x_in, *extra_args)
+
+    def quantize_params(alphas, hard):
+        def visit(path, leaf):
+            p = "/".join(k.key for k in path)
+            if p in alphas:
+                d, zp = w_scales_local[p]
+                return adaround_weight(leaf, d, zp, spec_w.n_bits,
+                                       alphas[p], hard)
+            return leaf
+        return jax.tree_util.tree_map_with_path(visit, fp_params)
+
+    def loss_fn(opt_vars, beta):
+        alphas_v = opt_vars["alphas"]
+        q_params = quantize_params(alphas_v, hard=False)
+        y = unit_apply(q_params, x)
+        if act_delta is not None:
+            d = jnp.maximum(opt_vars["act_delta"], 1e-8)
+            y = spec_a.apply(y, d, act_zp)
+        recon = jnp.mean(jnp.abs(y - y_fp) ** 2)
+        rl = sum(round_loss(a, beta) for a in alphas_v.values())
+        return recon + rcfg.round_weight * rl, recon
+
+    opt_vars = {"alphas": alphas}
+    lr_tree = {"alphas": rcfg.alpha_lr}
+    if act_delta is not None:
+        opt_vars["act_delta"] = act_delta
+        lr_tree["act_delta"] = rcfg.act_lr
+    label_fn = lambda tree: {k: k for k in tree}
+    tx = optax.multi_transform(
+        {"alphas": optax.adam(rcfg.alpha_lr),
+         "act_delta": optax.adam(rcfg.act_lr)},
+        param_labels=label_fn,
+    )
+    opt_state = tx.init(opt_vars)
+
+    @jax.jit
+    def step(opt_vars, opt_state, beta):
+        (loss, recon), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            opt_vars, beta
+        )
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(opt_vars, updates), opt_state, recon
+
+    warm = int(rcfg.iters * rcfg.warmup)
+    for it in range(rcfg.iters):
+        if it < warm:
+            beta = rcfg.b_start
+        else:
+            t = (it - warm) / max(rcfg.iters - warm, 1)
+            beta = rcfg.b_start + (rcfg.b_end - rcfg.b_start) * t
+        opt_vars, opt_state, recon = step(opt_vars, opt_state,
+                                          jnp.float32(beta))
+
+    q_params = quantize_params(opt_vars["alphas"], hard=True)
+    new_act = (
+        (jnp.maximum(opt_vars["act_delta"], 1e-8), act_zp)
+        if act_delta is not None else None
+    )
+    return q_params, new_act, float(recon)
+
+
+def adaround_reconstruct(model, variables, calib_batches,
+                         cfg: ptq_mod.PTQConfig = None,
+                         rcfg: ReconCfg = None, verbose: bool = False):
+    """Full pipeline: minmax PTQ -> unit-sequential AdaRound+LSQ refinement.
+
+    Returns (qvariables, act_scales, qapply).
+    """
+    cfg = cfg or ptq_mod.PTQConfig()
+    rcfg = rcfg or ReconCfg()
+    qvars, act_scales, qapply = ptq_mod.ptq_calibrate(
+        model, variables, calib_batches, cfg
+    )
+    _, w_scales = ptq_mod.quantize_weights(
+        variables["params"], cfg.weight_spec, cfg.skip_scopes
+    )
+    store = capture_units(model, variables, qvars, act_scales,
+                          calib_batches, cfg)
+
+    params = dict(variables["params"])
+    qparams = qvars["params"]
+    for path_s, ent in store.items():
+        if ent["module"] is None or not ent["inputs"] or not ent["outputs"]:
+            continue
+        rel = path_s.split("/")
+        fp_sub = _subtree(variables["params"], rel)
+        try:
+            bs_sub = _subtree(variables.get("batch_stats", {}), rel)
+        except (KeyError, TypeError):
+            bs_sub = {}
+        w_local = {
+            p[len(path_s) + 1:]: s for p, s in w_scales.items()
+            if p.startswith(path_s + "/")
+        }
+        if not w_local:
+            continue
+        act = act_scales.get(path_s)
+        q_sub, new_act, recon = reconstruct_unit(
+            ent["module"], fp_sub, bs_sub, w_local, act,
+            ent["inputs"], ent["outputs"], ent["extra_args"] or (),
+            cfg.weight_spec, cfg.act_spec, rcfg, jax.random.PRNGKey(0),
+        )
+        qparams = _set_subtree(qparams, rel, q_sub)
+        if new_act is not None:
+            act_scales[path_s] = new_act
+        if verbose:
+            print(f"[adaround] {path_s}: recon={recon:.6f}")
+
+    qvariables = dict(qvars, params=qparams)
+    return qvariables, act_scales, ptq_mod.make_quantized_apply(model, cfg)
