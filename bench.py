@@ -53,7 +53,10 @@ def main():
     ))
     batch = frame_to_batch(frame, voxel, max_cav=max_cav)
     model = PyramidCollabModel(mcfg)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # init must be jitted: eager init dispatches thousands of tiny ops
+    # (catastrophic over a remote-TPU tunnel)
+    variables = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b,
+                                             train=False))(batch)
     anchors = anc.generate_anchors(acfg)[0]
     pp_cfg = PostprocessCfg(gt_range=lidar_range, pre_nms_top_k=256,
                             max_detections=150)

@@ -1,0 +1,128 @@
+"""Inference + AP evaluation CLI (parity: opencood/tools/inference_mc.py).
+
+    python -m quantv2x_tpu.tools.inference -y configs/... --run_dir runs/exp1 \
+        [--synthetic N] [--quant {none,w8a8,adaround}] [--json out.json]
+
+Evaluates per-class AP@0.3/0.5/0.7 + mAP and mean latency. --quant runs the
+PTQ pipeline first (parity: tools/inference_mc_quant.py).
+"""
+
+import argparse
+import dataclasses
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def run_eval(model, variables, batches, hypes, apply_fn=None, act_scales=None):
+    """Shared eval loop. Returns (ap summary, mean latency s)."""
+    from quantv2x_tpu.data import anchors as anc
+    from quantv2x_tpu.data.postprocess import decode_detections
+    from quantv2x_tpu.utils import box_utils as bu
+    from quantv2x_tpu.utils.eval_ap import (
+        accumulate_frame, new_result_stat, summarize,
+    )
+
+    anchors = anc.generate_anchors(hypes.anchors)[0]
+    ppcfg = hypes.postprocess
+
+    if apply_fn is None:
+        def apply_fn(v, b):
+            return model.apply(v, b, train=False)
+
+    @jax.jit
+    def infer(variables, batch):
+        out = apply_fn(variables, batch)
+        det = decode_detections(
+            out["cls_preds"][0], out["reg_preds"][0], anchors, ppcfg,
+            dir_preds=out["dir_preds"][0],
+        )
+        return det
+
+    stat = new_result_stat(hypes.model.num_class)
+    lat = []
+    for i, batch in enumerate(batches):
+        t0 = time.time()
+        det = jax.block_until_ready(infer(variables, batch))
+        if i > 0:
+            lat.append(time.time() - t0)
+        gt_corners = bu.boxes_to_corners_3d(batch["gt_boxes"][0], "hwl")
+        accumulate_frame(
+            stat, det["corners"], det["scores"], det["labels"], det["valid"],
+            gt_corners, batch["gt_classes"][0], batch["gt_mask"][0],
+        )
+    return summarize(stat), float(np.mean(lat)) if lat else 0.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-y", "--hypes", required=True)
+    ap.add_argument("--run_dir", default=None)
+    ap.add_argument("--synthetic", type=int, default=16)
+    ap.add_argument("--max_cav", type=int, default=2)
+    ap.add_argument("--quant", choices=["none", "w8a8", "adaround"],
+                    default="none")
+    ap.add_argument("--calib", type=int, default=4)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from quantv2x_tpu.config.hypes import load_hypes
+    from quantv2x_tpu.data.pipeline import frame_to_batch
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.models.collab_model import PyramidCollabModel
+    from quantv2x_tpu.train import checkpoint as ckpt
+    from quantv2x_tpu.train.trainer import OptimCfg, create_train_state
+
+    hypes = load_hypes(args.hypes)
+    model_cfg = dataclasses.replace(hypes.model, max_cav=args.max_cav)
+    model = PyramidCollabModel(model_cfg)
+
+    frames = [
+        make_frame(SyntheticCfg(
+            lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
+            num_objects=12, points_per_agent=20000, seed=1000 + s,
+        ))
+        for s in range(args.synthetic + args.calib)
+    ]
+    batches = [frame_to_batch(f, hypes.voxel, max_cav=args.max_cav)
+               for f in frames]
+    calib, test = batches[: args.calib], batches[args.calib:]
+
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), test[0], OptimCfg()
+    )
+    if args.run_dir:
+        state, epoch = ckpt.restore_checkpoint(args.run_dir, state)
+        print(f"[inference] loaded epoch {epoch}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.quant == "none":
+        summary, lat = run_eval(model, variables, test, hypes)
+    else:
+        from quantv2x_tpu.quant.ptq import ptq_calibrate
+        from quantv2x_tpu.quant.adaround import adaround_reconstruct
+
+        if args.quant == "w8a8":
+            qvars, act_scales, qapply = ptq_calibrate(model, variables, calib)
+        else:
+            qvars, act_scales, qapply = adaround_reconstruct(
+                model, variables, calib
+            )
+        summary, lat = run_eval(
+            model, qvars, test, hypes,
+            apply_fn=lambda v, b: qapply(v, act_scales, b),
+        )
+
+    out = {"ap": summary, "mean_latency_s": round(lat, 4),
+           "fps": round(1.0 / lat, 2) if lat else None,
+           "quant": args.quant, "frames": len(test)}
+    print(json.dumps(out, indent=2, default=float))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, default=float)
+
+
+if __name__ == "__main__":
+    main()

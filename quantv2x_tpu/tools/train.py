@@ -1,0 +1,112 @@
+"""Training CLI (parity: opencood/tools/train.py:45-231).
+
+    python -m quantv2x_tpu.tools.train -y configs/v2xreal_lidar_pyramid.yaml \
+        --run_dir runs/exp1 [--synthetic N] [--epochs E] [--devices data,agent]
+
+Until the real V2X-Real loader lands, --synthetic N trains on N generated
+multi-agent frames (same batch contract as the dataset pipeline).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-y", "--hypes", required=True)
+    ap.add_argument("--run_dir", default="runs/default")
+    ap.add_argument("--synthetic", type=int, default=32,
+                    help="number of synthetic frames (0 = use dataset dirs)")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--max_cav", type=int, default=2)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--mesh", default="", help="e.g. '4,2' = data4 x agent2")
+    args = ap.parse_args()
+
+    from quantv2x_tpu.config.hypes import load_hypes
+    from quantv2x_tpu.data import anchors as anc
+    from quantv2x_tpu.data.pipeline import frame_to_batch, stack_batches
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.models.collab_model import PyramidCollabModel
+    from quantv2x_tpu.train import checkpoint as ckpt
+    from quantv2x_tpu.train.trainer import (
+        create_train_state, make_train_step,
+    )
+
+    hypes = load_hypes(args.hypes)
+    epochs = args.epochs or hypes.raw.get("train_params", {}).get("epoches", 18)
+    batch_size = args.batch_size or hypes.raw.get("train_params", {}).get(
+        "batch_size", 2
+    )
+    max_cav = args.max_cav
+
+    import dataclasses
+    model_cfg = dataclasses.replace(hypes.model, max_cav=max_cav)
+    model = PyramidCollabModel(model_cfg)
+
+    # ---- data ------------------------------------------------------------
+    print(f"[train] generating {args.synthetic} synthetic frames...")
+    frames = [
+        make_frame(SyntheticCfg(
+            lidar_range=hypes.voxel.lidar_range, num_agents=max_cav,
+            num_objects=12, points_per_agent=20000, seed=s,
+        ))
+        for s in range(args.synthetic)
+    ]
+    batches = [frame_to_batch(f, hypes.voxel, max_cav=max_cav) for f in frames]
+
+    def batched(epoch_seed):
+        rng = np.random.default_rng(epoch_seed)
+        order = rng.permutation(len(batches))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            yield stack_batches([batches[j] for j in order[i:i + batch_size]])
+
+    # ---- state -----------------------------------------------------------
+    sample = stack_batches(batches[:batch_size])
+    optim = dataclasses.replace(
+        hypes.optim, steps_per_epoch=max(len(batches) // batch_size, 1)
+    )
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), sample, optim)
+    start_epoch = 0
+    if args.resume:
+        try:
+            state, start_epoch = ckpt.restore_checkpoint(args.run_dir, state)
+            start_epoch += 1
+            print(f"[train] resumed from epoch {start_epoch - 1}")
+        except FileNotFoundError:
+            pass
+
+    anchor_pack = anc.generate_anchors(hypes.anchors)
+    step = jax.jit(make_train_step(model, tx, anchor_pack, hypes.loss))
+
+    os.makedirs(args.run_dir, exist_ok=True)
+    from quantv2x_tpu.config.hypes import save_hypes
+    save_hypes(hypes, os.path.join(args.run_dir, "config.yaml"))
+
+    log_path = os.path.join(args.run_dir, "train_log.jsonl")
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        n, tot = 0, 0.0
+        for batch in batched(epoch):
+            state, metrics = step(state, batch)
+            tot += float(metrics["total_loss"])
+            n += 1
+        dt = time.time() - t0
+        avg = tot / max(n, 1)
+        line = {"epoch": epoch, "loss": round(avg, 4),
+                "steps": n, "sec": round(dt, 1)}
+        print(f"[train] {line}")
+        with open(log_path, "a") as f:
+            f.write(json.dumps(line) + "\n")
+        ckpt.save_checkpoint(args.run_dir, epoch, state)
+    print("[train] done")
+
+
+if __name__ == "__main__":
+    main()
