@@ -60,15 +60,20 @@ def main():
         for s in range(args.synthetic)
     ]
     batches = [frame_to_batch(f, hypes.voxel, max_cav=max_cav) for f in frames]
+    # pre-stack fixed groups once (device-resident); epochs shuffle group
+    # order only — avoids per-epoch eager concatenation over the TPU tunnel
+    groups = [
+        stack_batches(batches[i:i + batch_size])
+        for i in range(0, len(batches) - batch_size + 1, batch_size)
+    ]
 
     def batched(epoch_seed):
         rng = np.random.default_rng(epoch_seed)
-        order = rng.permutation(len(batches))
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            yield stack_batches([batches[j] for j in order[i:i + batch_size]])
+        for j in rng.permutation(len(groups)):
+            yield groups[j]
 
     # ---- state -----------------------------------------------------------
-    sample = stack_batches(batches[:batch_size])
+    sample = groups[0]
     optim = dataclasses.replace(
         hypes.optim, steps_per_epoch=max(len(batches) // batch_size, 1)
     )

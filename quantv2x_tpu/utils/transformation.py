@@ -120,5 +120,26 @@ def project_points(points, T):
 
 
 def np_pose_to_world(pose):
-    """Numpy twin of pose_to_world for host-side data pipeline code."""
-    return np.asarray(pose_to_world(jnp.asarray(np.asarray(pose, dtype=np.float64))))
+    """Numpy twin of pose_to_world for host-side data pipeline code.
+
+    Pure numpy on purpose: host-side per-frame loops must never dispatch
+    eager device ops (catastrophically slow over a remote-TPU tunnel).
+    """
+    pose = np.asarray(pose, dtype=np.float64)
+    x, y, z = pose[0], pose[1], pose[2]
+    roll, yaw, pitch = np.radians(pose[3]), np.radians(pose[4]), np.radians(pose[5])
+    c_y, s_y = np.cos(yaw), np.sin(yaw)
+    c_r, s_r = np.cos(roll), np.sin(roll)
+    c_p, s_p = np.cos(pitch), np.sin(pitch)
+    T = np.identity(4)
+    T[0, 3], T[1, 3], T[2, 3] = x, y, z
+    T[0, 0] = c_p * c_y
+    T[0, 1] = c_y * s_p * s_r - s_y * c_r
+    T[0, 2] = -c_y * s_p * c_r - s_y * s_r
+    T[1, 0] = s_y * c_p
+    T[1, 1] = s_y * s_p * s_r + c_y * c_r
+    T[1, 2] = -s_y * s_p * c_r + c_y * s_r
+    T[2, 0] = s_p
+    T[2, 1] = -c_p * s_r
+    T[2, 2] = c_p * c_r
+    return T

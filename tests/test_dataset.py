@@ -1,0 +1,99 @@
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from quantv2x_tpu.data.dataset import V2XDataset, class_name_to_id, load_lidar
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    """Fabricate a two-scenario OPV2V-format tree with 2 cavs + 1 infra."""
+    root = tmp_path_factory.mktemp("v2xreal")
+    rng = np.random.default_rng(0)
+    car_world = {"location": [10.0, 5.0, 0.0], "extent": [2.25, 0.95, 0.8],
+                 "angle": [0.0, 30.0, 0.0], "obj_type": "Car"}
+    ped_world = {"location": [-5.0, 2.0, 0.0], "extent": [0.35, 0.35, 0.85],
+                 "angle": [0.0, 0.0, 0.0], "obj_type": "Pedestrian"}
+    poses = {"1": [0, 0, 1.9, 0, 0, 0], "2": [20, 8, 1.9, 0, 45, 0],
+             "-1": [100, 100, 4.0, 0, 90, 0]}  # infra far away
+    for scen in ("scene_a", "scene_b"):
+        for cav, pose in poses.items():
+            d = root / scen / cav
+            d.mkdir(parents=True)
+            for ts in ("000068", "000070"):
+                params = {
+                    "lidar_pose": pose,
+                    "vehicles": {"10": car_world, "11": ped_world},
+                }
+                (d / f"{ts}.yaml").write_text(yaml.safe_dump(params))
+                pts = rng.normal(0, 10, (500, 4)).astype(np.float32)
+                pts.tofile(d / f"{ts}.bin")
+    return str(root)
+
+
+class TestScan:
+    def test_modes(self, fake_root):
+        ds_vc = V2XDataset(fake_root, "vc", max_cav=4, max_points=600)
+        ds_v2v = V2XDataset(fake_root, "v2v", max_cav=4, max_points=600)
+        ds_i2i = V2XDataset(fake_root, "i2i", max_cav=4, max_points=600)
+        assert len(ds_vc) == 4  # 2 scenarios x 2 timestamps
+        s = ds_vc.scenarios[0]
+        assert list(s["cavs"]) == ["1", "2", "-1"]  # vehicles first
+        assert list(ds_v2v.scenarios[0]["cavs"]) == ["1", "2"]
+        assert list(ds_i2i.scenarios[0]["cavs"]) == ["-1"]
+
+    def test_comm_range_filters_far_infra(self, fake_root):
+        ds = V2XDataset(fake_root, "vc", max_cav=4, max_points=600,
+                        comm_range=70.0)
+        frame = ds[0]
+        # infra at (100,100) is ~141 m away -> dropped; 2 agents remain
+        assert frame["agent_mask"].sum() == 2
+
+    def test_gt_projection(self, fake_root):
+        ds = V2XDataset(fake_root, "v2v", max_cav=2, max_points=600)
+        frame = ds[0]
+        gt = frame["gt_boxes"][frame["gt_mask"]]
+        cls = frame["gt_classes"][frame["gt_mask"]]
+        assert len(gt) == 2
+        car = gt[cls == 1][0]
+        # ego pose is origin with zero yaw -> world coords pass through
+        # (minus lidar z offset 1.9)
+        np.testing.assert_allclose(car[:3], [10.0, 5.0, -1.9], atol=1e-4)
+        np.testing.assert_allclose(car[3:6], [1.6, 1.9, 4.5], atol=1e-5)  # hwl
+        assert car[6] == pytest.approx(np.radians(30.0), abs=1e-5)
+        assert set(cls.tolist()) == {1, 2}
+
+    def test_gt_yaw_in_rotated_ego_frame(self, fake_root):
+        ds = V2XDataset(fake_root, "v2v", max_cav=2, max_points=600)
+        frame = ds[0]
+        # second agent has yaw 45 deg; check its pose was loaded
+        assert frame["agent_poses"][1][4] == pytest.approx(45.0)
+
+    def test_points_loaded(self, fake_root):
+        ds = V2XDataset(fake_root, "v2v", max_cav=2, max_points=600)
+        frame = ds[0]
+        assert frame["agent_points_mask"][0].sum() == 500
+
+    def test_class_mapping(self):
+        assert class_name_to_id("Car") == 1
+        assert class_name_to_id("BicycleRider") == 2
+        assert class_name_to_id("ConcreteTruck") == 3
+        assert class_name_to_id("truck-ish-unknown") == 3
+        assert class_name_to_id(None) == 1
+
+
+def test_pipeline_integration(fake_root):
+    """Dataset frames flow through the device pipeline unchanged."""
+    import jax
+    from quantv2x_tpu.data.pipeline import frame_to_batch
+    from quantv2x_tpu.data.voxelizer import VoxelCfg
+
+    ds = V2XDataset(fake_root, "v2v", max_cav=2, max_points=600)
+    voxel = VoxelCfg(lidar_range=(-19.2, -19.2, -3.0, 19.2, 19.2, 1.0),
+                     voxel_size=(0.4, 0.4, 4.0), max_points_per_voxel=8,
+                     max_voxels=512)
+    batch = frame_to_batch(ds[0], voxel, max_cav=2)
+    assert batch["voxel_features"].shape[:2] == (1, 2)
+    assert bool(batch["voxel_mask"].any())
