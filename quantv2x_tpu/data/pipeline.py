@@ -55,6 +55,8 @@ def frame_to_batch(frame, voxel_cfg: VoxelCfg, max_cav: int = 4):
     return batch
 
 
-def stack_batches(batches):
-    """Concatenate a list of single-frame batches along the batch axis."""
+@jax.jit
+def stack_batches(*batches):
+    """Concatenate single-frame batches along the batch axis (jitted: one
+    compiled program instead of one eager concat per dict key)."""
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)

@@ -63,7 +63,7 @@ def main():
     # pre-stack fixed groups once (device-resident); epochs shuffle group
     # order only — avoids per-epoch eager concatenation over the TPU tunnel
     groups = [
-        stack_batches(batches[i:i + batch_size])
+        stack_batches(*batches[i:i + batch_size])
         for i in range(0, len(batches) - batch_size + 1, batch_size)
     ]
 

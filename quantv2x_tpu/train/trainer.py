@@ -60,7 +60,11 @@ def make_optimizer(cfg: OptimCfg):
 
 
 def create_train_state(model, rng, sample_batch, optim_cfg: OptimCfg):
-    variables = model.init(rng, sample_batch, train=True)
+    # jitted init: eager init dispatches thousands of tiny ops (pathological
+    # over a remote-TPU tunnel)
+    variables = jax.jit(
+        lambda b: model.init(rng, b, train=True)
+    )(sample_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(optim_cfg)
