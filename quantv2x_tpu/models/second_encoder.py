@@ -1,0 +1,103 @@
+"""SECOND-style voxel encoder, TPU-native dense re-design.
+
+Reference path (heter_encoders.py:52-81): MeanVFE -> spconv VoxelBackBone8x
+(sparse 3D convs) -> HeightCompression. spconv has no TPU analogue; per the
+design analysis (SURVEY.md §2.7) this implements the dense-on-capped-grid
+option: voxel means scatter into a dense (D, H, W, C) grid and a Conv3D
+stack (XLA lowers 3D convs onto the MXU) downsamples to the shared BEV
+space; HeightCompression folds depth into channels.
+
+At cooperative-perception voxel sizes (0.4 m XY, ~0.5 m Z over a 4 m band,
+D = 8) the dense grid is small enough that dense conv beats a gather/scatter
+submanifold emulation on TPU — occupancy is irrelevant to the MXU, which is
+fed fixed tiles either way.
+"""
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from quantv2x_tpu.models.layers import BN_EPS, BN_MOMENTUM
+
+
+@dataclasses.dataclass(frozen=True)
+class SecondCfg:
+    lidar_range: tuple
+    voxel_size: tuple            # (vx, vy, vz) with vz << z-extent (D > 1)
+    channels: Sequence[int] = (16, 32, 64)
+    out_channels: int = 64
+
+    @property
+    def grid_size(self):
+        x1, y1, z1, x2, y2, z2 = self.lidar_range
+        nx = int(round((x2 - x1) / self.voxel_size[0]))
+        ny = int(round((y2 - y1) / self.voxel_size[1]))
+        nz = int(round((z2 - z1) / self.voxel_size[2]))
+        return nx, ny, nz
+
+
+def mean_vfe(voxel_features, voxel_num_points):
+    """Per-voxel mean of point features (parity: sub_modules/mean_vfe.py)."""
+    counts = jnp.maximum(voxel_num_points, 1).astype(voxel_features.dtype)
+    return voxel_features.sum(axis=1) / counts[:, None]
+
+
+def scatter_to_grid3d(feats, voxel_coords, voxel_mask, grid_dhw):
+    """(V, C) voxel means -> dense (D, H, W, C) grid.
+
+    voxel_coords: (V, 3) as (z, y, x)."""
+    D, H, W = grid_dhw
+    z = jnp.where(voxel_mask, voxel_coords[:, 0], D)
+    canvas = jnp.zeros((D, H, W, feats.shape[-1]), feats.dtype)
+    return canvas.at[z, voxel_coords[:, 1], voxel_coords[:, 2]].add(
+        jnp.where(voxel_mask[:, None], feats, 0.0), mode="drop"
+    )
+
+
+class ConvBNReLU3D(nn.Module):
+    features: int
+    kernel: int = 3
+    strides: tuple = (1, 1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel,) * 3, strides=self.strides,
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class SECONDEncoder(nn.Module):
+    """Dense voxel backbone -> BEV features at (H/2, W/2, out_channels)."""
+    cfg: SecondCfg
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, voxels, train: bool = False):
+        cfg = self.cfg
+        nx, ny, nz = cfg.grid_size
+        feats = mean_vfe(voxels["voxel_features"], voxels["voxel_num_points"])
+        x = scatter_to_grid3d(
+            feats.astype(self.dtype), voxels["voxel_coords"],
+            voxels["voxel_mask"], (nz, ny, nx),
+        )[None]                                     # (1, D, H, W, C)
+        # stage 0: lift channels
+        x = ConvBNReLU3D(cfg.channels[0], dtype=self.dtype, name="stem")(
+            x, train)
+        # stage 1: z/2 only
+        x = ConvBNReLU3D(cfg.channels[1], strides=(2, 1, 1),
+                         dtype=self.dtype, name="down_z")(x, train)
+        # stage 2: z/2, y/2, x/2 -> shared heter BEV resolution
+        x = ConvBNReLU3D(cfg.channels[2], strides=(2, 2, 2),
+                         dtype=self.dtype, name="down_all")(x, train)
+        # HeightCompression: fold remaining depth into channels
+        _, D, H, W, C = x.shape
+        x = x.transpose(0, 2, 3, 1, 4).reshape(1, H, W, D * C)
+        x = nn.Conv(cfg.out_channels, (1, 1), dtype=self.dtype,
+                    name="compress")(x)
+        return x[0]                                  # (H/2, W/2, out)
