@@ -175,7 +175,7 @@ def int8_matmul_reference(x_q, w_q, x_zp, scale, bias=None, relu=False,
 
 def int8_conv_requant(x_q, w_q, x_zp, scale, bias=None, relu=False,
                       out_delta=None, out_zp=None, strides=(1, 1),
-                      out_bits=8):
+                      out_bits=8, groups=1):
     """INT8 NHWC conv with int32 accumulation + fused requant epilogue.
 
     x_q: (N, H, W, Cin) uint8 codes; w_q: (kh, kw, Cin, Cout) int8.
@@ -192,15 +192,18 @@ def int8_conv_requant(x_q, w_q, x_zp, scale, bias=None, relu=False,
     acc = jax.lax.conv_general_dilated(
         xs, w_q.astype(jnp.int8), strides, "SAME",
         dimension_numbers=dn, preferred_element_type=jnp.int32,
+        feature_group_count=groups,
     )
-    # per-position correction: (zp - 128) * conv(ones_mask, sum_ci w)
-    ones = jnp.ones(x_q.shape[:3] + (1,), jnp.int8)
-    wsum = w_q.astype(jnp.int32).sum(axis=2, keepdims=True).astype(jnp.int8)
-    # wsum may overflow int8 for large kernels; compute in int32 via fp path
+    # per-position correction: (zp - 128) * conv(ones_mask, sum_ci w) — the
+    # per-output-channel kernel sum over its (group-local) input channels,
+    # so the same formula is exact for grouped convs
+    ones = jnp.ones(x_q.shape[:3] + (1,), jnp.float32)
     wsum32 = w_q.astype(jnp.float32).sum(axis=2, keepdims=True)
+    dn1 = jax.lax.conv_dimension_numbers(
+        ones.shape, wsum32.shape, ("NHWC", "HWIO", "NHWC")
+    )
     mask_conv = jax.lax.conv_general_dilated(
-        ones.astype(jnp.float32), wsum32, strides, "SAME",
-        dimension_numbers=dn,
+        ones, wsum32, strides, "SAME", dimension_numbers=dn1,
     )
     eff_zp = jnp.float32(x_zp) - 128.0
     y = (acc.astype(jnp.float32) - eff_zp * mask_conv) * jnp.asarray(

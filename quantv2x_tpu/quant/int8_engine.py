@@ -1,0 +1,229 @@
+"""Real-INT8 inference engine: executes the quantized conv stack on int8 data.
+
+This replaces the reference's TensorRT deployment step
+(tools/build_trt_int8.py:46-405 — ONNX export + IInt8EntropyCalibrator2 +
+serialized engine): here the "engine build" is a pure-JAX transform:
+
+  1. observe per-unit INPUT ranges on calibration data (interceptor sow);
+  2. fold BN into each ConvBNReLU unit's conv (w' = w*g/sqrt(v+eps),
+     b' = b_conv*g/sqrt(v+eps) + beta - g*mean/sqrt(v+eps));
+  3. per-output-channel symmetric int8 weight quantization of folded
+     weights;
+  4. at inference, an interceptor REPLACES each unit's __call__ with:
+     quantize input to uint8 codes -> int8 conv (int32 MXU accumulation,
+     ops/int8_kernels.int8_conv_requant) -> fused dequant+bias+ReLU.
+
+Convolutions (the FLOPs bulk: backbone, pyramid, shrink, heads) run on real
+int8; pillar VFE / scatter / warp / softmax stay in float — the same split
+TensorRT engines make. Deconv (upsample) units currently stay on the
+fake-quant float path (int8 conv_transpose lowering is not guaranteed).
+"""
+
+import dataclasses
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quantv2x_tpu.models.layers import BN_EPS, ConvBNReLU
+from quantv2x_tpu.ops.int8_kernels import int8_conv_requant
+from quantv2x_tpu.quant import ptq as ptq_mod
+from quantv2x_tpu.quant.quantizer import _delta_zp_from_range, quantize_int
+
+
+def fold_conv_bn(kernel, conv_bias, bn_scale, bn_bias, bn_mean, bn_var,
+                 eps=BN_EPS):
+    """Fold BatchNorm into conv weights/bias."""
+    g = bn_scale / jnp.sqrt(bn_var + eps)
+    w = kernel * g[None, None, None, :]
+    b = (conv_bias if conv_bias is not None else 0.0) * g + bn_bias - bn_mean * g
+    return w, b
+
+
+def quantize_weight_sym(w, bits=8):
+    """Per-output-channel symmetric weight quantization (HWIO, axis -1)."""
+    amax = jnp.abs(w).max(axis=(0, 1, 2), keepdims=True)
+    delta = jnp.maximum(amax / (2 ** (bits - 1) - 1), 1e-8)
+    wq = jnp.clip(
+        jnp.round(w / delta), -(2 ** (bits - 1) - 1), 2 ** (bits - 1) - 1
+    ).astype(jnp.int8)
+    return wq, delta.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Input-range observation
+# ---------------------------------------------------------------------------
+
+def observe_input_ranges(model, variables, batches, cfg: ptq_mod.PTQConfig):
+    """{unit_path: (min, max)} of each ConvBNReLU unit's INPUT."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        module = context.module
+        path_s = ptq_mod._path_str(module.path)
+        if (
+            context.method_name == "__call__"
+            and isinstance(module, ConvBNReLU)
+            and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
+            and isinstance(args[0], jax.Array)
+        ):
+            x = args[0]
+            module.sow(
+                "quant_obs", "in_range",
+                (x.min().astype(jnp.float32), x.max().astype(jnp.float32)),
+                init_fn=lambda: (jnp.float32(jnp.inf), jnp.float32(-jnp.inf)),
+                reduce_fn=lambda a, b: (
+                    jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])
+                ),
+            )
+        return next_fn(*args, **kwargs)
+
+    ranges = {}
+
+    def run(batch):
+        with nn.intercept_methods(interceptor):
+            _, mut = model.apply(
+                variables, batch, train=False, mutable=["quant_obs"]
+            )
+        return mut["quant_obs"]
+
+    run_j = jax.jit(run)
+    for batch in batches:
+        obs = jax.device_get(run_j(batch))
+        for path_s, pair in _flatten_in_obs(obs).items():
+            lo, hi = pair
+            if path_s in ranges:
+                plo, phi = ranges[path_s]
+                ranges[path_s] = (min(plo, lo), max(phi, hi))
+            else:
+                ranges[path_s] = (float(lo), float(hi))
+    return ranges
+
+
+def _flatten_in_obs(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if k == "in_range":
+            pair = v[0] if isinstance(v, tuple) and isinstance(v[0], tuple) else v
+            out[ptq_mod._path_str(prefix)] = (float(pair[0]), float(pair[1]))
+        elif isinstance(v, dict):
+            out.update(_flatten_in_obs(v, prefix + (k,)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Engine build
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class UnitTable:
+    wq: jax.Array          # (kh, kw, cin/g, cout) int8
+    scale: jax.Array       # (cout,) = in_delta * w_delta
+    bias: jax.Array        # (cout,) float folded bias
+    in_delta: jax.Array
+    in_zp: jax.Array
+    strides: Tuple[int, int]
+    groups: int
+    relu: bool
+
+
+def build_engine_tables(model, variables, calib_batches,
+                        cfg: ptq_mod.PTQConfig = None):
+    """Calibrate input ranges and fold+quantize every ConvBNReLU unit."""
+    cfg = cfg or ptq_mod.PTQConfig()
+    in_ranges = observe_input_ranges(model, variables, calib_batches, cfg)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tables: Dict[str, UnitTable] = {}
+
+    # locate every ConvBNReLU's params by walking the tree for "conv/kernel"
+    def walk(ptree, btree, prefix):
+        if not isinstance(ptree, dict):
+            return
+        if "conv" in ptree and isinstance(ptree["conv"], dict) \
+                and "kernel" in ptree["conv"]:
+            path_s = ptq_mod._path_str(prefix)
+            if path_s not in in_ranges:
+                return
+            kernel = ptree["conv"]["kernel"]
+            conv_bias = ptree["conv"].get("bias")
+            if "bn" in ptree:
+                bnp = ptree["bn"]
+                bns = (btree or {}).get("bn", {})
+                w, b = fold_conv_bn(
+                    kernel, conv_bias, bnp["scale"], bnp["bias"],
+                    bns["mean"], bns["var"],
+                )
+            else:
+                w = kernel
+                b = conv_bias if conv_bias is not None else jnp.zeros(
+                    (kernel.shape[-1],), jnp.float32
+                )
+            wq, wd = quantize_weight_sym(w)
+            lo, hi = in_ranges[path_s]
+            in_delta, in_zp = _delta_zp_from_range(
+                jnp.float32(lo), jnp.float32(hi), 8
+            )
+            tables[path_s] = UnitTable(
+                wq=wq, scale=in_delta * wd, bias=b,
+                in_delta=in_delta, in_zp=in_zp,
+                strides=(1, 1), groups=1, relu=True,  # refined at call time
+            )
+            return
+        for k, v in ptree.items():
+            walk(v, (btree or {}).get(k, {}) if isinstance(btree, dict) else {},
+                 prefix + (k,))
+
+    walk(params, batch_stats, ())
+    return tables
+
+
+def make_int8_apply(model, tables, cfg: ptq_mod.PTQConfig = None):
+    """Returns int8_apply(variables, batch) executing units on real int8."""
+    cfg = cfg or ptq_mod.PTQConfig()
+
+    def interceptor(next_fn, args, kwargs, context):
+        module = context.module
+        path_s = ptq_mod._path_str(module.path)
+        if (
+            context.method_name == "__call__"
+            and isinstance(module, ConvBNReLU)
+            and path_s in tables
+            and isinstance(args[0], jax.Array)
+        ):
+            t = tables[path_s]
+            x = args[0]
+            shp = x.shape
+            if x.ndim == 3:
+                x4 = x[None]
+            elif x.ndim > 4:
+                x4 = x.reshape((-1,) + shp[-3:])
+            else:
+                x4 = x
+            xq = quantize_int(x4.astype(jnp.float32), t.in_delta, t.in_zp, 8)
+            s = module.strides
+            y = int8_conv_requant(
+                xq, t.wq, t.in_zp, t.scale, bias=t.bias,
+                relu=module.act, strides=(s, s) if isinstance(s, int) else s,
+                groups=module.groups,
+            )
+            if x.ndim == 3:
+                y = y[0]
+            elif x.ndim > 4:
+                y = y.reshape(shp[:-3] + y.shape[-3:])
+            return y.astype(x.dtype)
+        return next_fn(*args, **kwargs)
+
+    def int8_apply(variables, batch):
+        with nn.intercept_methods(interceptor):
+            return model.apply(variables, batch, train=False)
+
+    return int8_apply
+
+
+def build_int8_engine(model, variables, calib_batches,
+                      cfg: ptq_mod.PTQConfig = None):
+    """One call: calibrate + fold + quantize -> (tables, int8_apply)."""
+    cfg = cfg or ptq_mod.PTQConfig()
+    tables = build_engine_tables(model, variables, calib_batches, cfg)
+    return tables, make_int8_apply(model, tables, cfg)
