@@ -1,0 +1,134 @@
+"""Codebook 3-stage training driver (parity: tools/train_stage2.py /
+train_stage3.py + SURVEY.md §3.4).
+
+Stage 1: plain detection training (tools/train.py) of the collab model.
+Stage 2: attach the UMGM codebook at the communication point, FREEZE
+         everything else, train only codebook params on detection +
+         codebook reconstruction loss (train_stage2.py:67-95).
+Stage 3: unfreeze, co-train the whole pipeline at low lr.
+
+    python -m quantv2x_tpu.tools.train_codebook -y configs/... \
+        --stage1_dir runs/stage1 --run_dir runs/stage2 --stage 2
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-y", "--hypes", required=True)
+    ap.add_argument("--stage", type=int, choices=[2, 3], default=2)
+    ap.add_argument("--stage1_dir", required=False, default=None,
+                    help="run dir holding the stage-1 (or stage-2) checkpoint")
+    ap.add_argument("--run_dir", default="runs/codebook_stage2")
+    ap.add_argument("--synthetic", type=int, default=24)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--max_cav", type=int, default=2)
+    ap.add_argument("--seg_num", type=int, default=2)
+    ap.add_argument("--dict_size", type=int, default=256)
+    args = ap.parse_args()
+
+    from quantv2x_tpu.config.hypes import load_hypes
+    from quantv2x_tpu.data import anchors as anc
+    from quantv2x_tpu.data.pipeline import frame_to_batch, stack_batches
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.models.codebook import CodebookCompressor
+    from quantv2x_tpu.models.collab_model import PyramidCollabModel
+    from quantv2x_tpu.train import checkpoint as ckpt
+    from quantv2x_tpu.train.trainer import (
+        create_train_state, make_train_step,
+    )
+
+    hypes = load_hypes(args.hypes)
+    mcfg = dataclasses.replace(hypes.model, max_cav=args.max_cav)
+    compressor = CodebookCompressor(
+        channel=mcfg.backbone_filters[-1], seg_num=args.seg_num,
+        dict_sizes=(args.dict_size,) * 3, dtype=mcfg.jnp_dtype,
+    )
+    model = PyramidCollabModel(mcfg, compressor=compressor)
+
+    frames = [
+        make_frame(SyntheticCfg(
+            lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
+            num_objects=12, points_per_agent=20000, seed=s,
+        ))
+        for s in range(args.synthetic)
+    ]
+    batches = [frame_to_batch(f, hypes.voxel, max_cav=args.max_cav)
+               for f in frames]
+    groups = [
+        stack_batches(*batches[i:i + args.batch_size])
+        for i in range(0, len(batches) - args.batch_size + 1, args.batch_size)
+    ]
+
+    optim = dataclasses.replace(
+        hypes.optim,
+        lr=hypes.optim.lr if args.stage == 2 else hypes.optim.lr * 0.1,
+        steps_per_epoch=len(groups),
+    )
+    trainable = (
+        (lambda p: p.startswith("compressor")) if args.stage == 2 else None
+    )
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), groups[0], optim,
+        trainable_predicate=trainable,
+        init_rngs={"gumbel": jax.random.PRNGKey(11)},
+    )
+
+    # restore the previous stage's detection weights (codebook params keep
+    # their fresh init — check_missing_key-style partial load)
+    if args.stage1_dir:
+        prev, epoch = ckpt.restore_checkpoint(args.stage1_dir, state)
+        merged = jax.tree.map(lambda a: a, state.params)
+        for k in merged:
+            if k in prev.params and k != "compressor":
+                merged[k] = prev.params[k]
+        state = dataclasses.replace(
+            state, params=merged, batch_stats=prev.batch_stats
+        ) if hasattr(state, "replace") else state.__class__(
+            params=merged, batch_stats=prev.batch_stats,
+            opt_state=state.opt_state, step=state.step,
+        )
+        print(f"[codebook] loaded stage-1 weights from epoch {epoch}")
+
+    anchor_pack = anc.generate_anchors(hypes.anchors)
+    step = jax.jit(make_train_step(model, tx, anchor_pack, hypes.loss))
+
+    os.makedirs(args.run_dir, exist_ok=True)
+    extra = {"codebook_stats": jax.jit(
+        lambda b: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "gumbel": jax.random.PRNGKey(1)}, b, train=True
+        )
+    )(groups[0]).get("codebook_stats", {})}
+
+    log_path = os.path.join(args.run_dir, "train_log.jsonl")
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        rng = np.random.default_rng(epoch)
+        tot, naux, n = 0.0, 0.0, 0
+        for j in rng.permutation(len(groups)):
+            state, metrics, extra = step(state, groups[j], extra)
+            tot += float(metrics["total_loss"])
+            naux += float(metrics.get("aux_loss", 0.0))
+            n += 1
+        line = {"epoch": epoch, "loss": round(tot / n, 4),
+                "codebook_loss": round(naux / n, 4),
+                "sec": round(time.time() - t0, 1)}
+        print(f"[codebook s{args.stage}] {line}")
+        with open(log_path, "a") as f:
+            f.write(json.dumps(line) + "\n")
+        ckpt.save_checkpoint(args.run_dir, epoch, state)
+    print("[codebook] done")
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,11 @@ class OptimCfg:
     grad_clip: Optional[float] = None
 
 
-def make_optimizer(cfg: OptimCfg):
+def make_optimizer(cfg: OptimCfg, trainable_mask=None):
+    """trainable_mask: optional pytree-of-bool (or fn params->pytree) marking
+    which params get updates — the stage-2 codebook-only training path
+    (parity: tools/train_stage2.py:67-95 freezes everything but
+    model.codebook)."""
     boundaries = {
         m * cfg.steps_per_epoch: cfg.lr_gamma for m in cfg.lr_milestones
     }
@@ -56,18 +60,39 @@ def make_optimizer(cfg: OptimCfg):
     txs.append(
         optax.adamw(schedule, eps=cfg.eps, weight_decay=cfg.weight_decay)
     )
-    return optax.chain(*txs)
+    tx = optax.chain(*txs)
+    if trainable_mask is not None:
+        labels = jax.tree.map(
+            lambda t: "train" if t else "freeze", trainable_mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    return tx
 
 
-def create_train_state(model, rng, sample_batch, optim_cfg: OptimCfg):
+def path_mask(params, predicate):
+    """Pytree-of-bool from a predicate over 'a/b/c' param path strings."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: predicate("/".join(p.key for p in path)), params
+    )
+
+
+def create_train_state(model, rng, sample_batch, optim_cfg: OptimCfg,
+                       trainable_predicate=None, init_rngs=None):
     # jitted init: eager init dispatches thousands of tiny ops (pathological
     # over a remote-TPU tunnel)
+    rngs = dict(init_rngs or {}, params=rng)
     variables = jax.jit(
-        lambda b: model.init(rng, b, train=True)
+        lambda b: model.init(rngs, b, train=True)
     )(sample_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(optim_cfg)
+    mask = (
+        path_mask(params, trainable_predicate)
+        if trainable_predicate is not None else None
+    )
+    tx = make_optimizer(optim_cfg, mask)
     return TrainState(
         params=params,
         batch_stats=batch_stats,
@@ -88,10 +113,12 @@ def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
                     occ_supervision: bool = True):
     """Returns a jit-compatible (state, batch) -> (state, metrics) function."""
 
-    def loss_fn(params, batch_stats, batch, labels):
+    def loss_fn(params, batch_stats, extra_vars, batch, labels, rng):
+        variables = {"params": params, "batch_stats": batch_stats, **extra_vars}
         out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch, train=True, mutable=["batch_stats"],
+            variables, batch, train=True,
+            mutable=["batch_stats"] + list(extra_vars),
+            rngs={"gumbel": rng},
         )
         total, metrics = detection_loss(out, labels, loss_cfg)
         if occ_supervision and out.get("occ_maps"):
@@ -102,24 +129,27 @@ def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
             total = total + out["aux_loss"]
             metrics = dict(metrics, aux_loss=out["aux_loss"])
         metrics = dict(metrics, total_loss=total)
-        return total, (mutated["batch_stats"], metrics)
+        return total, (mutated, metrics)
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, extra_vars=None):
         labels = assign_batch_targets(batch, anchor_pack)
-        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, labels
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        grads, (mutated, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, extra_vars or {}, batch,
+            labels, rng,
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                params=new_params,
-                batch_stats=new_stats,
-                opt_state=new_opt,
-                step=state.step + 1,
-            ),
-            metrics,
+        new_extra = {k: v for k, v in mutated.items() if k != "batch_stats"}
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=mutated["batch_stats"],
+            opt_state=new_opt,
+            step=state.step + 1,
         )
+        if extra_vars:
+            return new_state, metrics, new_extra
+        return new_state, metrics
 
     return train_step
 
