@@ -216,6 +216,13 @@ class Who2comFusion(nn.Module):
                        dtype=self.dtype, name="decode")(cat)
 
 
+def _transformer_registry():
+    from quantv2x_tpu.models.transformer_fusion import (
+        CoBEVTFusion, V2XViTFusion,
+    )
+    return {"v2xvit": V2XViTFusion, "cobevt": CoBEVTFusion}
+
+
 FUSION_REGISTRY = {
     "max": MaxFusion,
     "f_cooper": MaxFusion,
@@ -225,3 +232,4 @@ FUSION_REGISTRY = {
     "where2comm": Where2commFusion,
     "who2com": Who2comFusion,
 }
+FUSION_REGISTRY.update(_transformer_registry())
