@@ -1,0 +1,143 @@
+"""Hard-quantized codebook inference with explicit encode/decode separation.
+
+Parity: tools/inference_mc_codebook_encdec.py (+ _cached variant) and
+models/heter_pyramid_collab_codebook_mc_encdec.py:33-208 — the transmit
+side runs encoder -> codebook.encode -> integer codes (the wire payload);
+the receive side runs codebook.decode -> fusion -> heads. --cache_dir
+writes/reads the codes as .npz between the two stages (the disk-cache
+V2X-channel emulation).
+
+    python -m quantv2x_tpu.tools.inference_codebook_encdec -y configs/... \
+        --run_dir runs/codebook_stage2 [--cache_dir /tmp/codes]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-y", "--hypes", required=True)
+    ap.add_argument("--run_dir", default=None)
+    ap.add_argument("--synthetic", type=int, default=8)
+    ap.add_argument("--max_cav", type=int, default=2)
+    ap.add_argument("--seg_num", type=int, default=2)
+    ap.add_argument("--dict_size", type=int, default=256)
+    ap.add_argument("--cache_dir", default=None)
+    args = ap.parse_args()
+
+    from quantv2x_tpu.config.hypes import load_hypes
+    from quantv2x_tpu.data import anchors as anc
+    from quantv2x_tpu.data.pipeline import frame_to_batch
+    from quantv2x_tpu.data.postprocess import decode_detections
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.models.codebook import CodebookCompressor
+    from quantv2x_tpu.models.collab_model import PyramidCollabModel
+    from quantv2x_tpu.train import checkpoint as ckpt
+    from quantv2x_tpu.train.trainer import OptimCfg, create_train_state
+    from quantv2x_tpu.utils import box_utils as bu
+    from quantv2x_tpu.utils.eval_ap import (
+        accumulate_frame, new_result_stat, summarize,
+    )
+
+    hypes = load_hypes(args.hypes)
+    mcfg = dataclasses.replace(hypes.model, max_cav=args.max_cav)
+    compressor = CodebookCompressor(
+        channel=mcfg.backbone_filters[-1], seg_num=args.seg_num,
+        dict_sizes=(args.dict_size,) * 3, dtype=mcfg.jnp_dtype,
+    )
+    model = PyramidCollabModel(mcfg, compressor=compressor)
+
+    batches = [
+        frame_to_batch(
+            make_frame(SyntheticCfg(
+                lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
+                num_objects=12, points_per_agent=20000, seed=2000 + s)),
+            hypes.voxel, max_cav=args.max_cav)
+        for s in range(args.synthetic)
+    ]
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), batches[0], OptimCfg(),
+        init_rngs={"gumbel": jax.random.PRNGKey(1)},
+    )
+    if args.run_dir:
+        state, ep = ckpt.restore_checkpoint(args.run_dir, state)
+        print(f"[encdec] loaded epoch {ep}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats,
+                 **dict(state.extra_vars)}
+    anchors = anc.generate_anchors(hypes.anchors)[0]
+
+    C = mcfg.backbone_filters[-1]
+
+    @jax.jit
+    def encode_stage(variables, batch):
+        """Transmit side: agent features -> integer codes."""
+        def fn(mdl):
+            feats = mdl.encode_agents(batch)          # (B, L, h, w, C)
+            B, L, h, w, _ = feats.shape
+            codes = mdl.compressor.codebook.encode(feats.reshape(-1, C))
+            return codes.reshape(B, L, h, w, -1), (B, L, h, w)
+        return jax.tree_util.Partial(model.apply)(
+            variables, method=lambda mdl: fn(mdl))
+
+    @jax.jit
+    def decode_stage(variables, codes, batch):
+        """Receive side: codes -> features -> fusion -> heads -> detections."""
+        def fn(mdl):
+            B, L, h, w, LM = codes.shape
+            flat = codes.reshape(-1, LM)
+            lv = len(compressor.dict_sizes)
+            feats = mdl.compressor.codebook.decode(
+                flat.reshape(-1, lv, args.seg_num))
+            feats = feats.reshape(B, L, h, w, C).astype(mcfg.jnp_dtype)
+            out = mdl.fuse_and_predict(feats, batch)
+            return out
+        out = model.apply(variables, method=lambda mdl: fn(mdl))
+        det = decode_detections(
+            out["cls_preds"][0], out["reg_preds"][0], anchors,
+            hypes.postprocess, dir_preds=out["dir_preds"][0],
+        )
+        return det
+
+    lv = 3
+    bits_per_px = lv * args.seg_num * int(np.ceil(np.log2(args.dict_size)))
+    stat = new_result_stat(mcfg.num_class)
+    lat = []
+    for i, batch in enumerate(batches):
+        t0 = time.time()
+        codes, _ = jax.block_until_ready(encode_stage(variables, batch))
+        if args.cache_dir:
+            os.makedirs(args.cache_dir, exist_ok=True)
+            p = os.path.join(args.cache_dir, f"codes_{i}.npz")
+            np.savez_compressed(p, codes=np.asarray(codes, np.uint16))
+            codes = jnp.asarray(np.load(p)["codes"].astype(np.int32))
+        det = jax.block_until_ready(decode_stage(variables, codes, batch))
+        if i > 0:
+            lat.append(time.time() - t0)
+        gt_corners = bu.boxes_to_corners_3d(batch["gt_boxes"][0], "hwl")
+        accumulate_frame(stat, det["corners"], det["scores"], det["labels"],
+                         det["valid"], gt_corners, batch["gt_classes"][0],
+                         batch["gt_mask"][0])
+
+    h, w = codes.shape[2], codes.shape[3]
+    payload_bytes = h * w * bits_per_px / 8
+    out = {
+        "ap": summarize(stat),
+        "mean_latency_s": round(float(np.mean(lat)), 4) if lat else None,
+        "wire_bits_per_bev_pixel": bits_per_px,
+        "payload_kb_per_agent": round(payload_bytes / 1024, 1),
+        "fp32_payload_kb": round(h * w * C * 4 / 1024, 1),
+        "compression_x": round(C * 32 / bits_per_px, 1),
+    }
+    print(json.dumps(out, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,39 +84,33 @@ def main():
     )
 
     # restore the previous stage's detection weights (codebook params keep
-    # their fresh init — check_missing_key-style partial load)
+    # their fresh init — check_missing_key-style partial load,
+    # train_utils.py:145-168). Stage-1 checkpoints have no compressor
+    # subtree, so restore into a compressor-less twin state first.
     if args.stage1_dir:
-        prev, epoch = ckpt.restore_checkpoint(args.stage1_dir, state)
-        merged = jax.tree.map(lambda a: a, state.params)
+        base_model = PyramidCollabModel(mcfg)
+        base_state, _ = create_train_state(
+            base_model, jax.random.PRNGKey(0), groups[0], optim
+        )
+        prev, epoch = ckpt.restore_checkpoint(args.stage1_dir, base_state)
+        merged = dict(state.params)
         for k in merged:
             if k in prev.params and k != "compressor":
                 merged[k] = prev.params[k]
-        state = dataclasses.replace(
-            state, params=merged, batch_stats=prev.batch_stats
-        ) if hasattr(state, "replace") else state.__class__(
-            params=merged, batch_stats=prev.batch_stats,
-            opt_state=state.opt_state, step=state.step,
-        )
+        state = state.replace(params=merged, batch_stats=prev.batch_stats)
         print(f"[codebook] loaded stage-1 weights from epoch {epoch}")
 
     anchor_pack = anc.generate_anchors(hypes.anchors)
     step = jax.jit(make_train_step(model, tx, anchor_pack, hypes.loss))
 
     os.makedirs(args.run_dir, exist_ok=True)
-    extra = {"codebook_stats": jax.jit(
-        lambda b: model.init(
-            {"params": jax.random.PRNGKey(0),
-             "gumbel": jax.random.PRNGKey(1)}, b, train=True
-        )
-    )(groups[0]).get("codebook_stats", {})}
-
     log_path = os.path.join(args.run_dir, "train_log.jsonl")
     for epoch in range(args.epochs):
         t0 = time.time()
         rng = np.random.default_rng(epoch)
         tot, naux, n = 0.0, 0.0, 0
         for j in rng.permutation(len(groups)):
-            state, metrics, extra = step(state, groups[j], extra)
+            state, metrics = step(state, groups[j])
             tot += float(metrics["total_loss"])
             naux += float(metrics.get("aux_loss", 0.0))
             n += 1

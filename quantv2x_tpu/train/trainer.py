@@ -32,6 +32,7 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    extra_vars: Any = flax.core.FrozenDict()  # e.g. codebook_stats
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +89,8 @@ def create_train_state(model, rng, sample_batch, optim_cfg: OptimCfg,
     )(sample_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    extra_vars = {k: v for k, v in variables.items()
+                  if k not in ("params", "batch_stats")}
     mask = (
         path_mask(params, trainable_predicate)
         if trainable_predicate is not None else None
@@ -98,6 +101,7 @@ def create_train_state(model, rng, sample_batch, optim_cfg: OptimCfg,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
+        extra_vars=extra_vars,
     ), tx
 
 
@@ -131,25 +135,23 @@ def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
         metrics = dict(metrics, total_loss=total)
         return total, (mutated, metrics)
 
-    def train_step(state: TrainState, batch, extra_vars=None):
+    def train_step(state: TrainState, batch):
         labels = assign_batch_targets(batch, anchor_pack)
         rng = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        extra = dict(state.extra_vars)
         grads, (mutated, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, extra_vars or {}, batch,
-            labels, rng,
+            state.params, state.batch_stats, extra, batch, labels, rng,
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_extra = {k: v for k, v in mutated.items() if k != "batch_stats"}
-        new_state = TrainState(
+        return TrainState(
             params=new_params,
             batch_stats=mutated["batch_stats"],
             opt_state=new_opt,
             step=state.step + 1,
-        )
-        if extra_vars:
-            return new_state, metrics, new_extra
-        return new_state, metrics
+            extra_vars={**extra, **new_extra},
+        ), metrics
 
     return train_step
 
@@ -158,7 +160,8 @@ def make_eval_step(model, anchor_pack, loss_cfg: LossCfg):
     def eval_step(state: TrainState, batch):
         labels = assign_batch_targets(batch, anchor_pack)
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": state.params, "batch_stats": state.batch_stats,
+             **dict(state.extra_vars)},
             batch, train=False,
         )
         total, metrics = detection_loss(out, labels, loss_cfg)
