@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--max_cav", type=int, default=2)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--save_freq", type=int, default=10,
+                    help="checkpoint every N epochs (saves are expensive over a remote-TPU tunnel)")
     ap.add_argument("--mesh", default="", help="e.g. '4,2' = data4 x agent2")
     args = ap.parse_args()
 
@@ -109,7 +111,8 @@ def main():
         print(f"[train] {line}")
         with open(log_path, "a") as f:
             f.write(json.dumps(line) + "\n")
-        ckpt.save_checkpoint(args.run_dir, epoch, state)
+        if (epoch + 1) % args.save_freq == 0 or epoch == epochs - 1:
+            ckpt.save_checkpoint(args.run_dir, epoch, state)
     print("[train] done")
 
 

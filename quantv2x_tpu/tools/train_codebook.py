@@ -120,7 +120,8 @@ def main():
         print(f"[codebook s{args.stage}] {line}")
         with open(log_path, "a") as f:
             f.write(json.dumps(line) + "\n")
-        ckpt.save_checkpoint(args.run_dir, epoch, state)
+        if (epoch + 1) % 10 == 0 or epoch == args.epochs - 1:
+            ckpt.save_checkpoint(args.run_dir, epoch, state)
     print("[codebook] done")
 
 
