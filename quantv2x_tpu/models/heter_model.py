@@ -1,0 +1,184 @@
+"""Heterogeneous multi-modality cooperative model.
+
+Parity: models/heter_pyramid_collab_mc.py:22-357 — per-modality encoder ->
+backbone -> aligner branches (encoder_m1, backbone_m1, aligner_m1, ...,
+dispatched by agent_modality_list:179-185), camera-branch center-crop, then
+the shared pyramid fusion + heads.
+
+TPU re-design of the dynamic dispatch: the reference eval()'s per-modality
+module names and runs each encoder on its agents' dynamic subset. Here every
+registered modality encoder runs over the full padded agent axis and the
+outputs are SELECTED by the per-agent modality id — static shapes, no
+gather/scatter, branchless. (Cost: k_modalities x encoder FLOPs on the agent
+axis; with L<=4 agents and <=2-3 modalities this keeps the MXU busy instead
+of the scheduler — revisit with agent-grouping if modality counts grow.)
+"""
+
+import dataclasses
+from typing import Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quantv2x_tpu.data.voxelizer import VoxelCfg
+from quantv2x_tpu.models.bev_backbone import ResNetBEVBackbone
+from quantv2x_tpu.models.collab_model import (
+    DetectionHeads,
+    ModelCfg,
+    ShrinkConv,
+)
+from quantv2x_tpu.models.layers import ConvBNReLU
+from quantv2x_tpu.models.pillar_encoder import PillarVFE, scatter_to_bev
+from quantv2x_tpu.models.pyramid_fusion import PyramidFusion
+from quantv2x_tpu.models.second_encoder import SECONDEncoder, SecondCfg
+from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
+
+
+@dataclasses.dataclass(frozen=True)
+class ModalityCfg:
+    """One sensing modality branch (a YAML heter.modality_setting entry)."""
+    name: str                      # "m1", "m2", ...
+    core_method: str               # "point_pillar" | "second"
+    aligner: str = "identity"      # "identity" | "conv"
+
+
+class ConvAligner(nn.Module):
+    """Small conv aligner (feature_alignnet 'conv' variants)."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBNReLU(self.channels, 3, dtype=self.dtype, name="c1")(x, train)
+        y = ConvBNReLU(self.channels, 3, act=False, dtype=self.dtype,
+                       name="c2")(y, train)
+        return x + y
+
+
+class HeterCollabModel(nn.Module):
+    """Multi-modality encoder branches + shared pyramid fusion."""
+    cfg: ModelCfg
+    modalities: Sequence[ModalityCfg] = (
+        ModalityCfg("m1", "point_pillar"),
+    )
+    compressor: Optional[nn.Module] = None
+
+    def setup(self):
+        c = self.cfg
+        dt = c.jnp_dtype
+        encs, backbones, aligners = {}, {}, {}
+        for m in self.modalities:
+            if m.core_method == "point_pillar":
+                encs[m.name] = PillarVFE(c.voxel, c.pillar_filters, dtype=dt,
+                                         name=f"vfe_{m.name}")
+                backbones[m.name] = ResNetBEVBackbone(
+                    c.backbone_layers, c.backbone_strides, c.backbone_filters,
+                    dtype=dt, name=f"backbone_{m.name}",
+                )
+            elif m.core_method == "second":
+                scfg = SecondCfg(
+                    lidar_range=c.voxel.lidar_range,
+                    voxel_size=(c.voxel.voxel_size[0], c.voxel.voxel_size[1],
+                                (c.voxel.lidar_range[5] - c.voxel.lidar_range[2]) / 8),
+                    out_channels=c.backbone_filters[-1],
+                )
+                encs[m.name] = SECONDEncoder(scfg, dtype=dt,
+                                             name=f"second_{m.name}")
+                backbones[m.name] = None
+            else:
+                raise ValueError(f"unknown modality encoder {m.core_method}")
+            if m.aligner == "conv":
+                aligners[m.name] = ConvAligner(
+                    c.backbone_filters[-1], dtype=dt,
+                    name=f"aligner_{m.name}")
+            else:
+                aligners[m.name] = None
+        self.encoders = encs
+        self.backbones = backbones
+        self.aligners = aligners
+        self.pyramid = PyramidFusion(
+            layer_nums=c.pyramid_layers, layer_strides=c.pyramid_strides,
+            num_filters=c.pyramid_filters,
+            upsample_strides=c.pyramid_up_strides,
+            num_upsample_filters=c.pyramid_up_filters, dtype=dt,
+        )
+        self.shrink = ShrinkConv(c.shrink_dim, dtype=dt)
+        self.heads = DetectionHeads(c.num_class, c.anchor_num,
+                                    c.num_dir_bins, dtype=dt)
+
+    def _branch_features(self, mod: ModalityCfg, batch, train):
+        """Run one modality branch over ALL agent slots -> (B*L, h, w, C)."""
+        c = self.cfg
+        vf = batch["voxel_features"]
+        B, L, V, P, F = vf.shape
+        if mod.core_method == "point_pillar":
+            pillar = self.encoders[mod.name](
+                vf.reshape(B * L * V, P, F),
+                batch["voxel_coords"].reshape(B * L * V, 3),
+                batch["voxel_num_points"].reshape(B * L * V),
+                train,
+            ).reshape(B * L, V, -1)
+            nx, ny, _ = c.voxel.grid_size
+            bev = jax.vmap(
+                lambda f, co, m: scatter_to_bev(f, co, m, (ny, nx))
+            )(pillar, batch["voxel_coords"].reshape(B * L, V, 3),
+              batch["voxel_mask"].reshape(B * L, V))
+            feat = self.backbones[mod.name](bev, train)
+        else:  # second — per-agent 3D path
+            def one(vfeat, vcoord, vnum, vmask):
+                return self.encoders[mod.name](
+                    {"voxel_features": vfeat, "voxel_coords": vcoord,
+                     "voxel_num_points": vnum, "voxel_mask": vmask}, train)
+            # SECOND expects z-resolved coords; the shared voxelizer gives
+            # z=0 pillars, so this path assumes a z-resolved voxel batch
+            # (see SecondCfg). flax modules can't vmap; loop L*B (small).
+            feats = [
+                one(vf[b, l], batch["voxel_coords"][b, l],
+                    batch["voxel_num_points"][b, l],
+                    batch["voxel_mask"][b, l])
+                for b in range(B) for l in range(L)
+            ]
+            feat = jnp.stack(feats)
+        if self.aligners[mod.name] is not None:
+            feat = self.aligners[mod.name](feat, train)
+        return feat
+
+    def encode_agents(self, batch, train: bool = False):
+        """Modality-routed agent features (B, L, h, w, C)."""
+        vf = batch["voxel_features"]
+        B, L = vf.shape[:2]
+        mod_ids = batch.get("agent_modality")
+        if mod_ids is None or len(self.modalities) == 1:
+            feat = self._branch_features(self.modalities[0], batch, train)
+            return feat.reshape(B, L, *feat.shape[1:])
+        out = None
+        for mi, mod in enumerate(self.modalities):
+            feat = self._branch_features(mod, batch, train)
+            feat = feat.reshape(B, L, *feat.shape[1:])
+            sel = (mod_ids == mi)[:, :, None, None, None]
+            out = jnp.where(sel, feat, 0.0 if out is None else out)
+        return out
+
+    def fuse_and_predict(self, agent_feats, batch, train: bool = False):
+        c = self.cfg
+        H, W = c.bev_hw
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0]
+        )
+        fused, occ_maps = self.pyramid.forward_collab(
+            agent_feats, batch["agent_mask"], affine, train
+        )
+        fused = self.shrink(fused)
+        cls, reg, dirp = self.heads(fused)
+        return {"cls_preds": cls, "reg_preds": reg, "dir_preds": dirp,
+                "occ_maps": occ_maps}
+
+    def __call__(self, batch, train: bool = False):
+        feats = self.encode_agents(batch, train)
+        aux = {}
+        if self.compressor is not None:
+            feats, aux = self.compressor(feats, train)
+        out = self.fuse_and_predict(feats, batch, train)
+        out.update(aux)
+        return out

@@ -1,0 +1,69 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantv2x_tpu.data.pipeline import frame_to_batch
+from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+from quantv2x_tpu.data.voxelizer import VoxelCfg
+from quantv2x_tpu.models.collab_model import ModelCfg
+from quantv2x_tpu.models.heter_model import HeterCollabModel, ModalityCfg
+
+RANGE = (-19.2, -19.2, -3.0, 19.2, 19.2, 1.0)
+VOXEL = VoxelCfg(lidar_range=RANGE, voxel_size=(0.4, 0.4, 4.0),
+                 max_points_per_voxel=8, max_voxels=1024)
+MODEL = ModelCfg(voxel=VOXEL, max_cav=2)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    frame = make_frame(SyntheticCfg(lidar_range=RANGE, num_agents=2,
+                                    num_objects=4, points_per_agent=3000,
+                                    seed=5))
+    b = dict(frame_to_batch(frame, VOXEL, max_cav=2))
+    b["agent_modality"] = jnp.array([[0, 1]])  # agent0 -> m1, agent1 -> m2
+    return b
+
+
+def test_two_lidar_modalities_routed(batch):
+    model = HeterCollabModel(
+        MODEL,
+        modalities=(
+            ModalityCfg("m1", "point_pillar"),
+            ModalityCfg("m2", "point_pillar", aligner="conv"),
+        ),
+    )
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
+    )(batch)
+    # both branches own parameters
+    assert "vfe_m1" in variables["params"] and "vfe_m2" in variables["params"]
+    assert "aligner_m2" in variables["params"]
+    out = model.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+    # changing m2 branch weights must only affect predictions through agent 1
+    p2 = jax.tree.map(lambda x: x, variables["params"])
+    p2["vfe_m2"] = jax.tree.map(lambda x: x * 0.0, p2["vfe_m2"])
+    out2 = model.apply({**variables, "params": p2}, batch, train=False)
+    assert not np.allclose(np.asarray(out["cls_preds"]),
+                           np.asarray(out2["cls_preds"]))
+
+    # changing m2 weights with all agents on m1 must change nothing
+    b_all_m1 = dict(batch, agent_modality=jnp.array([[0, 0]]))
+    a = model.apply(variables, b_all_m1, train=False)
+    b_ = model.apply({**variables, "params": p2}, b_all_m1, train=False)
+    np.testing.assert_allclose(np.asarray(a["cls_preds"]),
+                               np.asarray(b_["cls_preds"]), atol=1e-6)
+
+
+def test_single_modality_fast_path(batch):
+    model = HeterCollabModel(MODEL)
+    b = dict(batch)
+    b.pop("agent_modality")
+    variables = jax.jit(
+        lambda bb: model.init(jax.random.PRNGKey(0), bb, train=False)
+    )(b)
+    out = model.apply(variables, b, train=False)
+    h, w = 48, 48
+    assert out["cls_preds"].shape == (1, h, w, 18)
