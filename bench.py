@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main():
+    from quantv2x_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -57,6 +57,8 @@ def run_eval(model, variables, batches, hypes, apply_fn=None, act_scales=None):
 
 
 def main():
+    from quantv2x_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-y", "--hypes", required=True)
     ap.add_argument("--run_dir", default=None)

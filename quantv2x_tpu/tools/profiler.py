@@ -58,6 +58,8 @@ def profile_model(model, variables, batch, iters: int = 20):
 
 
 def main():
+    from quantv2x_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-y", "--hypes", required=True)
     ap.add_argument("--max_cav", type=int, default=2)

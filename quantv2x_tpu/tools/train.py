@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main():
+    from quantv2x_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-y", "--hypes", required=True)
     ap.add_argument("--run_dir", default="runs/default")

@@ -22,6 +22,8 @@ import numpy as np
 
 
 def main():
+    from quantv2x_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-y", "--hypes", required=True)
     ap.add_argument("--stage", type=int, choices=[2, 3], default=2)

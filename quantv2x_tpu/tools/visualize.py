@@ -46,6 +46,8 @@ def render_bev(points, pred_corners=None, gt_corners=None, lidar_range=None,
 
 
 def main():
+    from quantv2x_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-y", "--hypes", required=True)
     ap.add_argument("--run_dir", default=None)
