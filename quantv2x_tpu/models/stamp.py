@@ -1,0 +1,109 @@
+"""STAMP protocol-space adapters (heterogeneous collaboration).
+
+Parity: models/stamp_modules/adapter.py:93-856 (BaseAdapter + ConvNext
+variants) and the heter_model_baseline_w_stamp wiring: each agent type owns
+an ``Adapter`` mapping its local BEV feature space into a shared *protocol*
+space (what gets transmitted) and a ``Reverter`` mapping received protocol
+features back into its local space, so heterogeneous models collaborate
+without retraining their detection stacks.
+
+Blocks are ConvNeXt-style (depthwise 7x7 + LayerNorm + pointwise MLP) with
+optional channel change and spatial rescale, as in the reference's convnext
+aligner family (stamp_modules/feature_alignnet_modules.py).
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ConvNextBlock(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.channels, (7, 7), padding="SAME",
+                    feature_group_count=self.channels, dtype=self.dtype,
+                    name="dw")(x)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln")(y)
+        y = nn.Dense(4 * self.channels, dtype=self.dtype, name="pw1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.channels, dtype=self.dtype, name="pw2")(y)
+        return x + y
+
+
+class Adapter(nn.Module):
+    """Local feature space -> protocol space (transmit side)."""
+    out_channels: int
+    depth: int = 2
+    out_hw: Optional[tuple] = None   # protocol spatial size (resample if set)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (..., H, W, C_local) -> (..., H', W', C_protocol)."""
+        lead = x.shape[:-3]
+        H, W, C = x.shape[-3:]
+        flat = x.reshape((-1, H, W, C))
+        y = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name="proj")(flat)
+        for d in range(self.depth):
+            y = ConvNextBlock(self.out_channels, dtype=self.dtype,
+                              name=f"block{d}")(y)
+        if self.out_hw is not None and self.out_hw != (H, W):
+            y = jax.image.resize(
+                y, (y.shape[0], *self.out_hw, self.out_channels), "bilinear"
+            )
+        return y.reshape(lead + y.shape[1:])
+
+
+class Reverter(nn.Module):
+    """Protocol space -> local feature space (receive side)."""
+    out_channels: int
+    depth: int = 2
+    out_hw: Optional[tuple] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        lead = x.shape[:-3]
+        H, W, C = x.shape[-3:]
+        flat = x.reshape((-1, H, W, C))
+        y = flat
+        if self.out_hw is not None and self.out_hw != (H, W):
+            y = jax.image.resize(
+                y, (y.shape[0], *self.out_hw, C), "bilinear"
+            )
+        y = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name="proj")(y)
+        for d in range(self.depth):
+            y = ConvNextBlock(self.out_channels, dtype=self.dtype,
+                              name=f"block{d}")(y)
+        return y.reshape(lead + y.shape[1:])
+
+
+class StampBridge(nn.Module):
+    """Adapter + Reverter pair for one agent type.
+
+    Training objective (adapter_loss parity): adapted local features should
+    match the protocol model's features, and revert(adapt(x)) ~= x.
+    """
+    protocol_channels: int
+    local_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.adapter = Adapter(self.protocol_channels, dtype=self.dtype)
+        self.reverter = Reverter(self.local_channels, dtype=self.dtype)
+
+    def __call__(self, local_feats):
+        protocol = self.adapter(local_feats)
+        restored = self.reverter(protocol)
+        return protocol, restored
+
+    def cycle_loss(self, local_feats):
+        protocol, restored = self(local_feats)
+        return jnp.mean((restored - local_feats) ** 2), protocol
