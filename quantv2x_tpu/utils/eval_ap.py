@@ -17,6 +17,9 @@ import numpy as np
 from quantv2x_tpu.utils import box_utils as bu
 
 DEFAULT_IOUS = (0.3, 0.5, 0.7)
+# range-stratified bands (metres): parity tools/inference.py:190-216
+RANGE_BANDS = {"0-30m": (0.0, 30.0), "30-50m": (30.0, 50.0),
+               "50-100m": (50.0, 100.0)}
 
 
 def new_result_stat(num_classes: int = 3, ious=DEFAULT_IOUS):
@@ -24,6 +27,26 @@ def new_result_stat(num_classes: int = 3, ious=DEFAULT_IOUS):
         c: {t: {"tp": [], "fp": [], "gt": 0} for t in ious}
         for c in range(1, num_classes + 1)
     }
+
+
+def new_range_stats(num_classes: int = 3, ious=DEFAULT_IOUS):
+    """Per-distance-band stat dicts for range-stratified AP."""
+    return {name: new_result_stat(num_classes, ious) for name in RANGE_BANDS}
+
+
+def accumulate_frame_by_range(range_stats, det_corners, det_scores,
+                              det_labels, det_valid, gt_corners, gt_labels,
+                              gt_valid, ious=DEFAULT_IOUS):
+    """Split dets/GT by distance-to-ego band and accumulate each band."""
+    det_c = np.asarray(det_corners)
+    gt_c = np.asarray(gt_corners)
+    det_d = np.linalg.norm(det_c.mean(axis=1)[:, :2], axis=-1)
+    gt_d = np.linalg.norm(gt_c.mean(axis=1)[:, :2], axis=-1)
+    for name, (lo, hi) in RANGE_BANDS.items():
+        dm = np.asarray(det_valid, bool) & (det_d >= lo) & (det_d < hi)
+        gm = np.asarray(gt_valid, bool) & (gt_d >= lo) & (gt_d < hi)
+        accumulate_frame(range_stats[name], det_c, det_scores, det_labels,
+                         dm, gt_c, gt_labels, gm, ious)
 
 
 def accumulate_frame(result_stat, det_corners, det_scores, det_labels,
