@@ -1,0 +1,90 @@
+"""Robustness sweep drivers: pose noise and collaborator count.
+
+Parity:
+  - tools/inference_w_noise.py — pose-noise robustness sweep (AP vs noise
+    std);
+  - tools/inference_heter_in_order(_mc).py — successively-adding-agents
+    evaluation (AP vs number of collaborators, use_cav capping).
+
+    python -m quantv2x_tpu.tools.inference_sweeps -y configs/... \
+        --run_dir runs/exp --sweep {noise,agents}
+"""
+
+import argparse
+import dataclasses
+import json
+
+import jax
+import numpy as np
+
+
+def main():
+    from quantv2x_tpu.utils.runtime import enable_compile_cache
+    enable_compile_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-y", "--hypes", required=True)
+    ap.add_argument("--run_dir", default=None)
+    ap.add_argument("--sweep", choices=["noise", "agents"], default="noise")
+    ap.add_argument("--synthetic", type=int, default=8)
+    ap.add_argument("--max_cav", type=int, default=4)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from quantv2x_tpu.config.hypes import load_hypes
+    from quantv2x_tpu.data.noise_sim import NoiseCfg, add_pose_noise, drop_agents
+    from quantv2x_tpu.data.pipeline import frame_to_batch
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.models.collab_model import PyramidCollabModel
+    from quantv2x_tpu.tools.inference import run_eval
+    from quantv2x_tpu.train import checkpoint as ckpt
+    from quantv2x_tpu.train.trainer import OptimCfg, create_train_state
+
+    hypes = load_hypes(args.hypes)
+    model = PyramidCollabModel(
+        dataclasses.replace(hypes.model, max_cav=args.max_cav))
+    frames = [
+        make_frame(SyntheticCfg(
+            lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
+            num_objects=12, points_per_agent=20000, seed=3000 + s))
+        for s in range(args.synthetic)
+    ]
+    sample = frame_to_batch(frames[0], hypes.voxel, max_cav=args.max_cav)
+    state, _ = create_train_state(model, jax.random.PRNGKey(0), sample,
+                                  OptimCfg())
+    if args.run_dir:
+        state, ep = ckpt.restore_checkpoint(args.run_dir, state)
+        print(f"[sweep] loaded epoch {ep}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    results = {}
+    if args.sweep == "noise":
+        rng = np.random.default_rng(0)
+        for std in [0.0, 0.2, 0.4, 0.6, 1.0]:
+            cfg = NoiseCfg(pos_std=std, rot_std=std)
+            batches = [
+                frame_to_batch(add_pose_noise(f, cfg, rng), hypes.voxel,
+                               max_cav=args.max_cav)
+                for f in frames
+            ]
+            summary, lat = run_eval(model, variables, batches, hypes)
+            results[f"std_{std}"] = summary["mAP"]
+            print(f"[sweep] noise std={std}: mAP@0.5={summary['mAP'][0.5]:.4f}")
+    else:
+        for use_cav in range(1, args.max_cav + 1):
+            batches = [
+                frame_to_batch(drop_agents(f, use_cav), hypes.voxel,
+                               max_cav=args.max_cav)
+                for f in frames
+            ]
+            summary, lat = run_eval(model, variables, batches, hypes)
+            results[f"agents_{use_cav}"] = summary["mAP"]
+            print(f"[sweep] agents={use_cav}: mAP@0.5={summary['mAP'][0.5]:.4f}")
+
+    print(json.dumps(results, indent=2, default=float))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, default=float)
+
+
+if __name__ == "__main__":
+    main()
