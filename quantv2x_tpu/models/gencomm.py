@@ -1,0 +1,152 @@
+"""GenComm: generative (diffusion) communication for missing/compressed
+messages.
+
+Parity: models/gencomm_modules/ — DiffComm/GenComm conditional diffusion
+(cond_diff.py:185-415), unet.py denoiser, message_extractor_v2.py — the
+collaborator sends a compact *message*; the ego reconstructs the full BEV
+feature by running a conditional denoising process seeded on its own
+features and conditioned on the received message. Missing messages
+(missing_message flag, heter_model_baseline_w_gencomm_stage2.py:35) are
+handled by unconditional generation.
+
+TPU-first: the reverse-diffusion loop is a lax.scan over a fixed number of
+steps with a compact UNet (two downs/ups) — fully jit-able, static shapes.
+"""
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quantv2x_tpu.models.layers import ConvBNReLU
+
+
+@dataclasses.dataclass(frozen=True)
+class GenCommCfg:
+    channels: int = 64
+    message_channels: int = 8
+    timesteps: int = 50
+    sample_steps: int = 10
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+
+
+def make_schedule(cfg: GenCommCfg):
+    betas = jnp.linspace(cfg.beta_start, cfg.beta_end, cfg.timesteps)
+    alphas = 1.0 - betas
+    abar = jnp.cumprod(alphas)
+    return betas, alphas, abar
+
+
+class MessageExtractor(nn.Module):
+    """Compress BEV features into the low-bandwidth message
+    (message_extractor_v2.py parity)."""
+    message_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBNReLU(32, 3, dtype=self.dtype, name="c1")(x, train)
+        y = nn.Conv(self.message_channels, (3, 3), strides=(2, 2),
+                    padding="SAME", dtype=self.dtype, name="down")(y)
+        return y                                     # (H/2, W/2, Cm)
+
+
+class CondUNet(nn.Module):
+    """Compact conditional denoiser (unet.py parity, 2-level)."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_noisy, t_emb, cond, train: bool = False):
+        """x_noisy: (N, H, W, C); t_emb: (N, E); cond: (N, H, W, Cc)."""
+        C = self.channels
+        h = jnp.concatenate([x_noisy, cond], axis=-1)
+        h = ConvBNReLU(C, 3, dtype=self.dtype, name="in")(h, train)
+        te = nn.Dense(C, dtype=self.dtype, name="temb")(t_emb)
+        h = h + te[:, None, None, :]
+        d1 = ConvBNReLU(C, 3, 2, dtype=self.dtype, name="down1")(h, train)
+        d2 = ConvBNReLU(2 * C, 3, 2, dtype=self.dtype, name="down2")(d1, train)
+        m = ConvBNReLU(2 * C, 3, dtype=self.dtype, name="mid")(d2, train)
+        u1 = jax.image.resize(m, d1.shape[:3] + (m.shape[-1],), "nearest")
+        u1 = ConvBNReLU(C, 3, dtype=self.dtype, name="up1")(
+            jnp.concatenate([u1, d1], axis=-1), train)
+        u0 = jax.image.resize(u1, h.shape[:3] + (u1.shape[-1],), "nearest")
+        u0 = ConvBNReLU(C, 3, dtype=self.dtype, name="up0")(
+            jnp.concatenate([u0, h], axis=-1), train)
+        return nn.Conv(x_noisy.shape[-1], (1, 1), dtype=self.dtype,
+                       name="out")(u0)
+
+
+def timestep_embedding(t, dim: int = 64):
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(10000.0) * jnp.arange(half) / half)
+    ang = t[:, None].astype(jnp.float32) * freqs[None]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class GenComm(nn.Module):
+    """Message extraction + conditional diffusion reconstruction."""
+    cfg: GenCommCfg
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.extractor = MessageExtractor(self.cfg.message_channels,
+                                          dtype=self.dtype)
+        self.denoiser = CondUNet(self.cfg.channels, dtype=self.dtype)
+
+    def __call__(self, feats, rng, train: bool = True):
+        """Init/train entry: extract the message and compute the DDPM loss
+        (touches every parameterized submodule)."""
+        msg = self.extract(feats, train)
+        return self.denoise_loss(feats, msg, rng, train), msg
+
+    def extract(self, feats, train: bool = False):
+        """(N, H, W, C) -> message (N, H/2, W/2, Cm)."""
+        return self.extractor(feats, train)
+
+    def _cond(self, message, hw):
+        up = jax.image.resize(
+            message, (message.shape[0], *hw, message.shape[-1]), "nearest"
+        )
+        return up
+
+    def denoise_loss(self, feats, message, rng, train: bool = True):
+        """DDPM noise-prediction loss on collaborator features."""
+        cfg = self.cfg
+        _, _, abar = make_schedule(cfg)
+        N = feats.shape[0]
+        t = jax.random.randint(jax.random.fold_in(rng, 0), (N,), 0,
+                               cfg.timesteps)
+        noise = jax.random.normal(jax.random.fold_in(rng, 1), feats.shape,
+                                  feats.dtype)
+        a = abar[t][:, None, None, None]
+        x_t = jnp.sqrt(a) * feats + jnp.sqrt(1 - a) * noise
+        cond = self._cond(message, feats.shape[1:3])
+        pred = self.denoiser(x_t, timestep_embedding(t), cond, train)
+        return jnp.mean((pred - noise) ** 2)
+
+    def generate(self, message, shape, rng, message_present=True):
+        """Reverse diffusion -> reconstructed features (N, H, W, C)."""
+        cfg = self.cfg
+        betas, alphas, abar = make_schedule(cfg)
+        cond = self._cond(message, shape[1:3])
+        if not message_present:
+            cond = jnp.zeros_like(cond)
+        step_idx = jnp.linspace(cfg.timesteps - 1, 0,
+                                cfg.sample_steps).astype(jnp.int32)
+        x = jax.random.normal(rng, shape)
+
+        def body(x, t):
+            eps = self.denoiser(x, timestep_embedding(jnp.full((shape[0],), t)),
+                                cond, False)
+            a, ab, b = alphas[t], abar[t], betas[t]
+            mean = (x - b / jnp.sqrt(1 - ab) * eps) / jnp.sqrt(a)
+            noise = jax.random.normal(jax.random.fold_in(rng, t), shape)
+            x = jnp.where(t > 0, mean + jnp.sqrt(b) * noise, mean)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, step_idx)
+        return x
