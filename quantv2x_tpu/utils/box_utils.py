@@ -279,20 +279,43 @@ def nms_rotated(boxes, scores, valid_mask, iou_thresh: float):
     return keep & valid_mask
 
 
-def nms_corners(corners, scores, valid_mask, iou_thresh: float):
-    """NMS on (N, 8, 3) corner boxes (post-projection path)."""
+def nms_corners(corners, scores, valid_mask, iou_thresh: float,
+                prefilter_top_k: int = 128):
+    """NMS on (N, 8, 3) corner boxes (post-projection path).
+
+    Two-stage for speed: exact rotated-polygon IoU is only computed among the
+    ``prefilter_top_k`` highest-score candidates (quadratic polygon clipping
+    is the dominant decode cost); lower-ranked boxes are suppressed against
+    the kept set using cheap axis-aligned standup IoU with a conservative
+    threshold (a rotated box pair with polygon IoU > t always has standup
+    IoU > t/2 on these aspect ratios).
+    """
     n = corners.shape[0]
     order = jnp.argsort(jnp.where(valid_mask, -scores, jnp.inf), stable=True)
     scorners = corners[order]
     svalid = valid_mask[order]
-    iou = iou_matrix_polygon(scorners, scorners)
+    k = min(prefilter_top_k, n)
+
+    top = scorners[:k]
+    iou_top = iou_matrix_polygon(top, top)
 
     def body(i, keep):
         alive = keep[i] & svalid[i]
-        suppress = (iou[i] > iou_thresh) & (jnp.arange(n) > i) & alive
+        suppress = (iou_top[i] > iou_thresh) & (jnp.arange(k) > i) & alive
         return keep & ~suppress
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, svalid)
+    keep_top = jax.lax.fori_loop(0, k, body, svalid[:k])
+
+    if k < n:
+        # tail boxes: suppress against kept top boxes via standup IoU
+        su_top = corners_to_standup_2d(top)
+        su_tail = corners_to_standup_2d(scorners[k:])
+        iou_tail = iou_matrix_axis_aligned(su_tail, su_top)
+        covered = (iou_tail * keep_top[None, :] > iou_thresh * 0.5).any(axis=1)
+        keep_tail = svalid[k:] & ~covered
+        keep_sorted = jnp.concatenate([keep_top, keep_tail])
+    else:
+        keep_sorted = keep_top
     keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
     return keep & valid_mask
 

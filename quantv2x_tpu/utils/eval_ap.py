@@ -49,26 +49,42 @@ def accumulate_frame_by_range(range_stats, det_corners, det_scores,
                          dm, gt_c, gt_labels, gm, ious)
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit)
+def _padded_polygon_iou(det_corners, gt_corners):
+    """Fixed-shape det x gt polygon IoU — compiles once per padded shape
+    instead of once per frame's dynamic detection count."""
+    return bu.iou_matrix_polygon(det_corners, gt_corners)
+
+
 def accumulate_frame(result_stat, det_corners, det_scores, det_labels,
                      det_valid, gt_corners, gt_labels, gt_valid,
                      ious=DEFAULT_IOUS):
     """Update stats with one frame (padded numpy/jnp arrays accepted)."""
+    det_valid = np.asarray(det_valid).astype(bool)
+    gt_valid = np.asarray(gt_valid).astype(bool)
+    # one fixed-shape device call for the whole frame, matching on host after
+    full_iou = (
+        np.asarray(_padded_polygon_iou(det_corners, gt_corners))
+        if det_valid.any() and gt_valid.any() else
+        np.zeros((len(np.asarray(det_corners)), len(np.asarray(gt_corners))))
+    )
     det_corners = np.asarray(det_corners)
     det_scores = np.asarray(det_scores)
     det_labels = np.asarray(det_labels)
-    det_valid = np.asarray(det_valid).astype(bool)
     gt_corners = np.asarray(gt_corners)
     gt_labels = np.asarray(gt_labels)
-    gt_valid = np.asarray(gt_valid).astype(bool)
 
     for cls in result_stat.keys():
         dsel = det_valid & (det_labels == cls)
         gsel = gt_valid & (gt_labels == cls)
-        dc, ds = det_corners[dsel], det_scores[dsel]
-        gc = gt_corners[gsel]
+        ds = det_scores[dsel]
         order = np.argsort(-ds)
-        dc, ds = dc[order], ds[order]
-        n_det, n_gt = len(dc), len(gc)
+        n_det, n_gt = int(dsel.sum()), int(gsel.sum())
         for t in ious:
             result_stat[cls][t]["gt"] += int(n_gt)
         if n_det == 0:
@@ -78,7 +94,7 @@ def accumulate_frame(result_stat, det_corners, det_scores, det_labels,
                 result_stat[cls][t]["fp"] += [1] * n_det
                 result_stat[cls][t]["tp"] += [0] * n_det
             continue
-        iou_mat = np.asarray(bu.iou_matrix_polygon(dc, gc))  # (n_det, n_gt)
+        iou_mat = full_iou[np.ix_(dsel, gsel)][order]
         for t in ious:
             alive = np.ones(n_gt, bool)
             for i in range(n_det):
