@@ -122,3 +122,43 @@ class QuantSpec:
 WEIGHT_SPEC = QuantSpec(n_bits=8, per_channel=True, channel_axis=-1,
                         scale_method="minmax")
 ACT_SPEC = QuantSpec(n_bits=8, per_channel=False, scale_method="minmax")
+
+
+def init_entropy(x, n_bits: int, num_bins: int = 2048, num_steps: int = 64):
+    """KL-divergence (entropy) calibration over an |x| histogram
+    (parity: quant_layer.py entropy init :273-319 / TRT entropy calibrator).
+
+    Searches clip thresholds minimizing the KL divergence between the
+    original histogram and its quantized redistribution. Per-tensor only.
+    """
+    ax = jnp.abs(x).ravel()
+    amax = jnp.maximum(ax.max(), 1e-8)
+    hist, edges = jnp.histogram(ax, bins=num_bins, range=(0.0, amax))
+    hist = hist.astype(jnp.float32) + 1e-6
+    n_levels = 2 ** n_bits
+
+    def kl_for(frac):
+        t = frac * amax
+        cut = jnp.clip((t / amax * num_bins).astype(jnp.int32), n_levels,
+                       num_bins)
+        idx = jnp.arange(num_bins)
+        inside = idx < cut
+        p = jnp.where(inside, hist, 0.0)
+        # clipped mass goes to the last inside bin
+        p = p.at[jnp.maximum(cut - 1, 0)].add(jnp.where(~inside, hist, 0.0).sum())
+        # quantized redistribution: group inside bins into n_levels buckets
+        bucket = jnp.clip(idx * n_levels // jnp.maximum(cut, 1), 0,
+                          n_levels - 1)
+        bucket = jnp.where(inside, bucket, n_levels - 1)
+        bsum = jnp.zeros(n_levels).at[bucket].add(p)
+        bcnt = jnp.zeros(n_levels).at[bucket].add(inside.astype(jnp.float32))
+        q = bsum[bucket] / jnp.maximum(bcnt[bucket], 1.0)
+        q = jnp.where(inside, q, 1e-6) + 1e-6
+        pn = p / p.sum()
+        qn = q / q.sum()
+        return jnp.sum(jnp.where(pn > 0, pn * jnp.log(pn / qn), 0.0))
+
+    fracs = jnp.linspace(0.02, 1.0, num_steps)
+    kls = jax.vmap(kl_for)(fracs)
+    best_t = fracs[jnp.argmin(kls)] * amax
+    return _delta_zp_from_range(-best_t, best_t, n_bits)

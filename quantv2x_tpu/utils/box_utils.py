@@ -356,3 +356,24 @@ def project_corners(corners, T):
     R = T[:3, :3]
     t = T[:3, 3]
     return jnp.einsum("npj,kj->npk", corners, R, precision="highest") + t
+
+
+def points_in_rotated_boxes(points, boxes, order: str = "lwh"):
+    """Membership mask of points in rotated 3D boxes.
+
+    points: (P, 3); boxes: (N, 7). Returns (N, P) bool.
+    Parity: pcdet_utils/roiaware_pool3d points_in_boxes (CUDA) — here a
+    branchless transform-to-box-frame containment test.
+    """
+    b = to_lwh(jnp.asarray(boxes), order)
+    rel = points[None, :, :] - b[:, None, :3]              # (N, P, 3)
+    c, s = jnp.cos(b[:, 6]), jnp.sin(b[:, 6])
+    # rotate into box frame (inverse of +yaw rotation)
+    lx = c[:, None] * rel[..., 0] + s[:, None] * rel[..., 1]
+    ly = -s[:, None] * rel[..., 0] + c[:, None] * rel[..., 1]
+    lz = rel[..., 2]
+    return (
+        (jnp.abs(lx) <= b[:, None, 3] / 2)
+        & (jnp.abs(ly) <= b[:, None, 4] / 2)
+        & (jnp.abs(lz) <= b[:, None, 5] / 2)
+    )

@@ -218,3 +218,16 @@ class TestFilters:
         )
         m = np.asarray(bu.mask_boxes_range(corners, [-140.8, -40, -3, 140.8, 40, 1]))
         assert m.tolist() == [True, False]
+
+
+def test_points_in_rotated_boxes():
+    boxes = jnp.array([[0.0, 0, 0, 4, 2, 2, jnp.pi / 2]])  # rotated 90deg
+    pts = jnp.array([
+        [0.0, 0.0, 0.0],    # center -> in
+        [0.9, 0.0, 0.0],    # after rotation box extends 1 in x -> in
+        [1.5, 0.0, 0.0],    # beyond rotated half-width -> out
+        [0.0, 1.9, 0.0],    # within rotated half-length (2) -> in
+        [0.0, 0.0, 2.0],    # above -> out
+    ])
+    m = np.asarray(bu.points_in_rotated_boxes(pts, boxes))
+    assert m[0].tolist() == [True, True, False, True, False]

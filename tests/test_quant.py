@@ -117,3 +117,13 @@ class TestEndToEndPTQ:
         _, scales = quantize_weights(variables["params"])
         assert len(scales) > 20
         assert not any("codebook" in p for p in scales)
+
+
+def test_entropy_init_clips_outliers():
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (8192,))
+    x = x.at[0].set(60.0)
+    d_e, zp_e = qz.init_entropy(x, 8)
+    d_m, _ = qz.init_minmax(x, 8)
+    # entropy calibration must choose a much tighter range than minmax
+    assert float(d_e) < float(d_m) * 0.5
