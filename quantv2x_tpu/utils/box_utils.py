@@ -267,15 +267,19 @@ def nms_rotated(boxes, scores, valid_mask, iou_thresh: float):
     order = jnp.argsort(jnp.where(valid_mask, -scores, jnp.inf), stable=True)
     sboxes = boxes[order]
     svalid = valid_mask[order]
+    n8 = ((n + 7) // 8) * 8
+    if n8 != n:  # alignment: see nms_corners
+        sboxes = jnp.zeros((n8, 7), sboxes.dtype).at[:n].set(sboxes)
+        svalid = jnp.zeros((n8,), bool).at[:n].set(svalid)
     iou = iou_matrix_rotated_bev(sboxes, sboxes)
 
     def body(i, keep):
         alive = keep[i] & svalid[i]
-        suppress = (iou[i] > iou_thresh) & (jnp.arange(n) > i) & alive
+        suppress = (iou[i] > iou_thresh) & (jnp.arange(n8) > i) & alive
         return keep & ~suppress
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, svalid)
-    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    keep_sorted = jax.lax.fori_loop(0, n8, body, svalid)
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted[:n], mode="drop")
     return keep & valid_mask
 
 
@@ -294,7 +298,13 @@ def nms_corners(corners, scores, valid_mask, iou_thresh: float,
     order = jnp.argsort(jnp.where(valid_mask, -scores, jnp.inf), stable=True)
     scorners = corners[order]
     svalid = valid_mask[order]
-    k = min(prefilter_top_k, n)
+    # keep every polygon-IoU operand size a multiple of 8: the tunneled TPU
+    # backend kernel-faults on this program at unaligned leading dims
+    n8 = ((n + 7) // 8) * 8
+    if n8 != n:
+        scorners = jnp.zeros((n8, 8, 3), scorners.dtype).at[:n].set(scorners)
+        svalid = jnp.zeros((n8,), bool).at[:n].set(svalid)
+    k = min(((prefilter_top_k + 7) // 8) * 8, n8)
 
     top = scorners[:k]
     iou_top = iou_matrix_polygon(top, top)
@@ -306,7 +316,7 @@ def nms_corners(corners, scores, valid_mask, iou_thresh: float,
 
     keep_top = jax.lax.fori_loop(0, k, body, svalid[:k])
 
-    if k < n:
+    if k < n8:
         # tail boxes: suppress against kept top boxes via standup IoU
         su_top = corners_to_standup_2d(top)
         su_tail = corners_to_standup_2d(scorners[k:])
@@ -316,7 +326,7 @@ def nms_corners(corners, scores, valid_mask, iou_thresh: float,
         keep_sorted = jnp.concatenate([keep_top, keep_tail])
     else:
         keep_sorted = keep_top
-    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted[:n], mode="drop")
     return keep & valid_mask
 
 

@@ -52,13 +52,31 @@ def accumulate_frame_by_range(range_stats, det_corners, det_scores,
 import functools
 
 import jax
+import jax.numpy as jnp
+
+
+def _round_up8(n: int) -> int:
+    return ((n + 7) // 8) * 8
 
 
 @functools.partial(jax.jit)
-def _padded_polygon_iou(det_corners, gt_corners):
-    """Fixed-shape det x gt polygon IoU — compiles once per padded shape
-    instead of once per frame's dynamic detection count."""
+def _polygon_iou_aligned(det_corners, gt_corners):
     return bu.iou_matrix_polygon(det_corners, gt_corners)
+
+
+def _padded_polygon_iou(det_corners, gt_corners):
+    """Fixed-shape det x gt polygon IoU — compiles once per padded shape.
+
+    Inputs are padded to multiples of 8 boxes: the tunneled TPU backend's
+    codegen kernel-faults on this program at unaligned leading dims
+    (empirically: 150 crashes the worker, 64/128/160 run fine)."""
+    det_corners = jnp.asarray(det_corners)
+    gt_corners = jnp.asarray(gt_corners)
+    n, m = det_corners.shape[0], gt_corners.shape[0]
+    np8, mp8 = _round_up8(n), _round_up8(m)
+    d = jnp.zeros((np8, 8, 3), det_corners.dtype).at[:n].set(det_corners)
+    g = jnp.zeros((mp8, 8, 3), gt_corners.dtype).at[:m].set(gt_corners)
+    return _polygon_iou_aligned(d, g)[:n, :m]
 
 
 def accumulate_frame(result_stat, det_corners, det_scores, det_labels,
