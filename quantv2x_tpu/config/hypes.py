@@ -35,8 +35,15 @@ class Hypes:
 
 
 def load_hypes(path: str) -> Hypes:
+    import os
     with open(path) as f:
         raw = yaml.safe_load(f)
+    if "extends" in raw:
+        base_path = os.path.join(os.path.dirname(path), raw.pop("extends"))
+        with open(base_path) as f:
+            base = yaml.safe_load(f)
+        base.update(raw)
+        raw = base
     return build_hypes(raw)
 
 
