@@ -116,8 +116,16 @@ def main():
             tot += float(metrics["total_loss"])
             naux += float(metrics.get("aux_loss", 0.0))
             n += 1
+        # dead-code reassignment between epochs (codebook.py reAssignCodebook)
+        from quantv2x_tpu.models.codebook_utils import reassign_dead_codes
+        new_params, n_dead = reassign_dead_codes(
+            state.params, dict(state.extra_vars).get("codebook_stats", {}),
+            jax.random.PRNGKey(1000 + epoch),
+        )
+        if n_dead:
+            state = state.replace(params=new_params)
         line = {"epoch": epoch, "loss": round(tot / n, 4),
-                "codebook_loss": round(naux / n, 4),
+                "codebook_loss": round(naux / n, 4), "dead_codes": n_dead,
                 "sec": round(time.time() - t0, 1)}
         print(f"[codebook s{args.stage}] {line}")
         with open(log_path, "a") as f:
