@@ -1,0 +1,83 @@
+"""Baseline cooperative models: single-scale fusion via the fusion registry.
+
+Parity: the reference heter_model_baseline(_mc) family — per-agent encoder
+-> full BEV backbone -> ONE single-scale fusion module (max / att / disconet
+/ v2vnet / where2comm / who2com / v2xvit / cobevt, selected by
+fusion_method) -> shrink -> heads. This is the harness the reference uses to
+compare fusion algorithms under one training recipe.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quantv2x_tpu.models.bev_backbone import ResNetBEVBackbone
+from quantv2x_tpu.models.collab_model import (
+    DetectionHeads,
+    ModelCfg,
+    ShrinkConv,
+)
+from quantv2x_tpu.models.fusion_lib import FUSION_REGISTRY
+from quantv2x_tpu.models.pillar_encoder import PillarVFE, scatter_to_bev
+from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
+
+
+class BaselineFusionModel(nn.Module):
+    """Encoder -> backbone -> registry fusion -> shrink -> heads."""
+    cfg: ModelCfg
+    fusion_method: str = "att"
+    compressor: Optional[nn.Module] = None
+
+    def setup(self):
+        c = self.cfg
+        dt = c.jnp_dtype
+        self.vfe = PillarVFE(c.voxel, c.pillar_filters, dtype=dt)
+        self.backbone = ResNetBEVBackbone(
+            c.backbone_layers, c.backbone_strides, c.backbone_filters,
+            # full decode: deconv stages give the fused feature width
+            upsample_strides=(1,) * len(c.backbone_layers),
+            num_upsample_filters=(c.backbone_filters[-1] * 2,)
+            * len(c.backbone_layers),
+            dtype=dt,
+        )
+        fdim = c.backbone_filters[-1] * 2 * len(c.backbone_layers)
+        cls = FUSION_REGISTRY[self.fusion_method]
+        try:
+            self.fusion = cls(fdim, dtype=dt)
+        except TypeError:
+            self.fusion = cls()
+        self.shrink = ShrinkConv(c.shrink_dim, dtype=dt)
+        self.heads = DetectionHeads(c.num_class, c.anchor_num,
+                                    c.num_dir_bins, dtype=dt)
+
+    def __call__(self, batch, train: bool = False):
+        c = self.cfg
+        vf = batch["voxel_features"]
+        B, L, V, P, F = vf.shape
+        pillar = self.vfe(
+            vf.reshape(B * L * V, P, F),
+            batch["voxel_coords"].reshape(B * L * V, 3),
+            batch["voxel_num_points"].reshape(B * L * V),
+            train,
+        ).reshape(B * L, V, -1)
+        nx, ny, _ = c.voxel.grid_size
+        bev = jax.vmap(
+            lambda f, co, m: scatter_to_bev(f, co, m, (ny, nx))
+        )(pillar, batch["voxel_coords"].reshape(B * L, V, 3),
+          batch["voxel_mask"].reshape(B * L, V))
+        feat = self.backbone(bev, train)
+        feat = feat.reshape(B, L, *feat.shape[1:])
+        if self.compressor is not None:
+            feat, _ = self.compressor(feat, train)
+
+        H, W = c.bev_hw
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0]
+        )
+        fused = self.fusion(feat, batch["agent_mask"], affine, train)
+        fused = self.shrink(fused)
+        cls_p, reg_p, dir_p = self.heads(fused)
+        return {"cls_preds": cls_p, "reg_preds": reg_p, "dir_preds": dir_p,
+                "occ_maps": []}

@@ -110,10 +110,16 @@ class PTQConfig:
     weight_spec: QuantSpec = WEIGHT_SPEC
     skip_scopes: tuple = DEFAULT_SKIP_SCOPES
     output_heads: tuple = DEFAULT_OUTPUT_HEADS
+    # activation-range observer: clip to this two-sided quantile instead of
+    # absolute min/max (1.0 = exact minmax). Percentile clipping trades a
+    # little saturation for a much finer grid — the single biggest AP lever
+    # for per-tensor 8-bit activations on wide layers.
+    act_percentile: float = 0.9999
 
 
 def make_observe_interceptor(cfg: PTQConfig):
-    """Interceptor that sows each unit's output (min, max) into 'quant_obs'."""
+    """Interceptor that sows each unit's output range into 'quant_obs'."""
+    q = cfg.act_percentile
 
     def interceptor(next_fn, args, kwargs, context):
         out = next_fn(*args, **kwargs)
@@ -126,9 +132,16 @@ def make_observe_interceptor(cfg: PTQConfig):
             and not _in_scope(path_s, cfg.output_heads)
             and isinstance(out, jax.Array)
         ):
+            flat = out.astype(jnp.float32).ravel()
+            if q >= 1.0:
+                lo, hi = flat.min(), flat.max()
+            else:
+                lo, hi = jnp.quantile(
+                    flat, jnp.array([1.0 - q, q])
+                )
             module.sow(
                 "quant_obs", "range",
-                (out.min().astype(jnp.float32), out.max().astype(jnp.float32)),
+                (lo, hi),
                 init_fn=lambda: (jnp.float32(jnp.inf), jnp.float32(-jnp.inf)),
                 reduce_fn=lambda a, b: (
                     jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])
