@@ -46,6 +46,10 @@ class ModelCfg:
     shrink_dim: int = 256
     max_cav: int = 4
     dtype: str = "float32"
+    # "bottleneck" = reference ResNeXt (32 groups x 4 wide) — faithful but
+    # feeds the 128x128 MXU 4-channel groups; "basic" = dense 3x3 blocks
+    # (the reference's resnext:false path) — much better MXU utilization
+    pyramid_block: str = "bottleneck"
 
     @property
     def jnp_dtype(self):
@@ -107,6 +111,7 @@ class PyramidCollabModel(nn.Module):
             num_filters=c.pyramid_filters,
             upsample_strides=c.pyramid_up_strides,
             num_upsample_filters=c.pyramid_up_filters,
+            block=c.pyramid_block,
             dtype=dt,
         )
         self.shrink = ShrinkConv(c.shrink_dim, dtype=dt)

@@ -56,9 +56,13 @@ def adaround_weight(w, delta, zp, n_bits: int, alpha, hard: bool):
 
 
 def round_loss(alpha, beta):
-    """Rounding relaxation: sum(1 - |2h-1|^beta) (block_recon LossFunction)."""
+    """Rounding relaxation: mean(1 - |2h-1|^beta).
+
+    The reference sums over weights (block_recon LossFunction) against a
+    large-magnitude recon loss; with our normalized (mean) recon objective a
+    mean keeps the two terms on comparable scales across unit sizes."""
     h = rect_sigmoid(alpha)
-    return jnp.sum(1.0 - jnp.abs(2 * h - 1.0) ** beta)
+    return jnp.mean(1.0 - jnp.abs(2 * h - 1.0) ** beta)
 
 
 @dataclasses.dataclass
@@ -96,11 +100,14 @@ def capture_units(model, variables, qvariables, act_scales, batches,
             if is_unit and kind == "in":
                 ent = store.setdefault(
                     path_s, {"inputs": [], "outputs": [], "module": None,
-                             "extra_args": None},
+                             "extra_args": []},
                 )
                 ent["module"] = module.clone(parent=None)
                 ent["inputs"].append(jax.device_get(args[0]))
-                ent["extra_args"] = args[1:]
+                ent["extra_args"].append(
+                    tuple(jax.device_get(a) if isinstance(a, jax.Array) else a
+                          for a in args[1:])
+                )
             out = next_fn(*args, **kwargs)
             if is_unit and kind == "out":
                 store.setdefault(
@@ -163,6 +170,17 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
 
     x = jnp.asarray(np.concatenate(inputs, axis=0))
     y_fp = jnp.asarray(np.concatenate(fp_outputs, axis=0))
+    # merge per-batch extra args: concatenate arrays, pass scalars through
+    if extra_args:
+        merged = []
+        for vals in zip(*extra_args):
+            if isinstance(vals[0], np.ndarray):
+                merged.append(jnp.asarray(np.concatenate(vals, axis=0)))
+            else:
+                merged.append(vals[0])
+        extra_args = tuple(merged)
+    else:
+        extra_args = ()
 
     def unit_apply(params_q, x_in):
         vars_in = {"params": params_q}
@@ -188,14 +206,12 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             d = jnp.maximum(opt_vars["act_delta"], 1e-8)
             y = spec_a.apply(y, d, act_zp)
         recon = jnp.mean(jnp.abs(y - y_fp) ** 2)
-        rl = sum(round_loss(a, beta) for a in alphas_v.values())
+        rl = sum(round_loss(a, beta) for a in alphas_v.values()) / max(len(alphas_v), 1)
         return recon + rcfg.round_weight * rl, recon
 
     opt_vars = {"alphas": alphas}
-    lr_tree = {"alphas": rcfg.alpha_lr}
     if act_delta is not None:
         opt_vars["act_delta"] = act_delta
-        lr_tree["act_delta"] = rcfg.act_lr
     label_fn = lambda tree: {k: k for k in tree}
     tx = optax.multi_transform(
         {"alphas": optax.adam(rcfg.alpha_lr),
@@ -204,23 +220,27 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
     )
     opt_state = tx.init(opt_vars)
 
-    @jax.jit
-    def step(opt_vars, opt_state, beta):
-        (loss, recon), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            opt_vars, beta
-        )
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(opt_vars, updates), opt_state, recon
-
     warm = int(rcfg.iters * rcfg.warmup)
-    for it in range(rcfg.iters):
-        if it < warm:
-            beta = rcfg.b_start
-        else:
-            t = (it - warm) / max(rcfg.iters - warm, 1)
+
+    @jax.jit
+    def optimize(opt_vars, opt_state):
+        # whole reconstruction as ONE compiled loop — per-step dispatch over
+        # a remote-TPU tunnel would dominate otherwise
+        def body(it, carry):
+            opt_vars, opt_state, _ = carry
+            t = jnp.clip((it - warm) / max(rcfg.iters - warm, 1), 0.0, 1.0)
             beta = rcfg.b_start + (rcfg.b_end - rcfg.b_start) * t
-        opt_vars, opt_state, recon = step(opt_vars, opt_state,
-                                          jnp.float32(beta))
+            (loss, recon), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(opt_vars, beta)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(opt_vars, updates), opt_state, recon)
+
+        return jax.lax.fori_loop(
+            0, rcfg.iters, body,
+            (opt_vars, opt_state, jnp.float32(0.0)),
+        )
+
+    opt_vars, opt_state, recon = optimize(opt_vars, opt_state)
 
     q_params = quantize_params(opt_vars["alphas"], hard=True)
     new_act = (
@@ -268,7 +288,7 @@ def adaround_reconstruct(model, variables, calib_batches,
         act = act_scales.get(path_s)
         q_sub, new_act, recon = reconstruct_unit(
             ent["module"], fp_sub, bs_sub, w_local, act,
-            ent["inputs"], ent["outputs"], ent["extra_args"] or (),
+            ent["inputs"], ent["outputs"], ent["extra_args"] or [],
             cfg.weight_spec, cfg.act_spec, rcfg, jax.random.PRNGKey(0),
         )
         qparams = _set_subtree(qparams, rel, q_sub)

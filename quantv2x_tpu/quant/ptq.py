@@ -114,7 +114,7 @@ class PTQConfig:
     # absolute min/max (1.0 = exact minmax). Percentile clipping trades a
     # little saturation for a much finer grid — the single biggest AP lever
     # for per-tensor 8-bit activations on wide layers.
-    act_percentile: float = 0.9999
+    act_percentile: float = 0.999
 
 
 def make_observe_interceptor(cfg: PTQConfig):

@@ -122,6 +122,7 @@ class QuantSpec:
 WEIGHT_SPEC = QuantSpec(n_bits=8, per_channel=True, channel_axis=-1,
                         scale_method="minmax")
 ACT_SPEC = QuantSpec(n_bits=8, per_channel=False, scale_method="minmax")
+# note: activation RANGES come from the observer (PTQConfig.act_percentile)
 
 
 def init_entropy(x, n_bits: int, num_bins: int = 2048, num_steps: int = 64):
