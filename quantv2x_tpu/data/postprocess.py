@@ -72,10 +72,14 @@ def decode_detections(cls_preds, reg_preds, anchors, cfg: PostprocessCfg,
 
     keep = scores > cfg.score_threshold
 
-    # static top-K prefilter replaces dynamic masked_select
+    # static top-K prefilter replaces dynamic masked_select; approx_max_k
+    # uses the TPU-optimized partial-reduction path (exact top_k sorts the
+    # whole 600k-score map)
     K = cfg.pre_nms_top_k
     masked_scores = jnp.where(keep, scores, -1.0)
-    top_scores, top_idx = jax.lax.top_k(masked_scores, K)
+    top_scores, top_idx = jax.lax.approx_max_k(
+        masked_scores, K, recall_target=0.95
+    )
     top_valid = top_scores > 0
     top_boxes = boxes[top_idx]
     top_labels = labels[top_idx]
