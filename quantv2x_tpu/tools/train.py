@@ -94,6 +94,20 @@ def main():
     anchor_pack = anc.generate_anchors(hypes.anchors)
     step = jax.jit(make_train_step(model, tx, anchor_pack, hypes.loss))
 
+    # multi-chip: shard batches over a (data, agent) mesh; XLA inserts the
+    # gradient all-reduce (replaces the reference's DDP/NCCL, train_ddp.py)
+    mesh_ctx = None
+    if args.mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from quantv2x_tpu.parallel.sharding import make_mesh, shard_batch
+        nd, na = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(n_data=nd, n_agent=na)
+        mesh_ctx = jax.set_mesh(mesh)
+        mesh_ctx.__enter__()
+        groups = [shard_batch(mesh, g) for g in groups]
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        print(f"[train] sharded over mesh data={nd} agent={na}")
+
     os.makedirs(args.run_dir, exist_ok=True)
     from quantv2x_tpu.config.hypes import save_hypes
     save_hypes(hypes, os.path.join(args.run_dir, "config.yaml"))
