@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--save_freq", type=int, default=10,
                     help="checkpoint every N epochs (saves are expensive over a remote-TPU tunnel)")
+    ap.add_argument("--augment", action="store_true",
+                    help="apply flip/rotation/scale augmentation when generating frames")
     ap.add_argument("--mesh", default="", help="e.g. '4,2' = data4 x agent2")
     args = ap.parse_args()
 
@@ -63,6 +65,10 @@ def main():
         ))
         for s in range(args.synthetic)
     ]
+    if args.augment:
+        from quantv2x_tpu.data.augment import augment_frame
+        rng_aug = np.random.default_rng(123)
+        frames += [augment_frame(f, rng_aug) for f in frames]
     batches = [frame_to_batch(f, hypes.voxel, max_cav=max_cav) for f in frames]
     # pre-stack fixed groups once (device-resident); epochs shuffle group
     # order only — avoids per-epoch eager concatenation over the TPU tunnel
