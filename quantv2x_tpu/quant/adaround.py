@@ -11,6 +11,13 @@ Parity targets:
     linearly decaying temperature b: 20 -> 2 after 20% warmup, 5000 iters
     (defaults: tools/inference_mc_quant.py:269-298).
 
+Known approximation: unit inputs are captured ONCE from the initially
+quantized model; the reference re-runs the network per block so later blocks
+see the refined predecessors (block_recon save_inp_oup_data per block).
+Sequential re-capture is a planned refinement; a per-unit safety fallback
+keeps nearest rounding whenever the learned rounding fails to beat it on the
+calibration samples.
+
 Functional design: each quantization unit (ConvBNReLU / PFNLayer / head
 conv) is captured via interception — its input batch (from the
 quantized-so-far model), its FP output, a detached clone of the module, and
@@ -74,7 +81,7 @@ class ReconCfg:
     warmup: float = 0.2
     alpha_lr: float = 1e-2           # reference 1e-3..1e-2 range
     act_lr: float = 4e-5             # LSQ lr (inference_mc_quant.py:287)
-    batch_size: int = 0              # 0 = use all captured samples each step
+    batch_size: int = 8192           # max samples per unit (0 = all)
 
 
 # ---------------------------------------------------------------------------
@@ -168,19 +175,38 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
     act_delta = act_scale[0] if act_scale is not None else None
     act_zp = act_scale[1] if act_scale is not None else None
 
-    x = jnp.asarray(np.concatenate(inputs, axis=0))
-    y_fp = jnp.asarray(np.concatenate(fp_outputs, axis=0))
+    x = np.concatenate(inputs, axis=0)
+    y_fp = np.concatenate(fp_outputs, axis=0)
     # merge per-batch extra args: concatenate arrays, pass scalars through
     if extra_args:
         merged = []
         for vals in zip(*extra_args):
             if isinstance(vals[0], np.ndarray):
-                merged.append(jnp.asarray(np.concatenate(vals, axis=0)))
+                merged.append(np.concatenate(vals, axis=0))
             else:
                 merged.append(vals[0])
         extra_args = tuple(merged)
     else:
         extra_args = ()
+    # cap the sample count per step (rcfg.batch_size; pillar-level units
+    # capture hundreds of thousands of rows — a random subset suffices)
+    if rcfg.batch_size and x.shape[0] > rcfg.batch_size:
+        old_n = x.shape[0]
+        sel = np.random.default_rng(0).choice(
+            old_n, rcfg.batch_size, replace=False
+        )
+        x = x[sel]
+        y_fp = y_fp[sel] if y_fp.shape[0] == old_n else y_fp
+        extra_args = tuple(
+            a[sel] if isinstance(a, np.ndarray) and a.ndim >= 1
+            and a.shape[0] == old_n else a
+            for a in extra_args
+        )
+    x = jnp.asarray(x)
+    y_fp = jnp.asarray(y_fp)
+    extra_args = tuple(
+        jnp.asarray(a) if isinstance(a, np.ndarray) else a for a in extra_args
+    )
 
     def unit_apply(params_q, x_in):
         vars_in = {"params": params_q}
@@ -242,12 +268,30 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
 
     opt_vars, opt_state, recon = optimize(opt_vars, opt_state)
 
-    q_params = quantize_params(opt_vars["alphas"], hard=True)
+    # safety: hard-thresholded learned rounding is only kept if it actually
+    # reconstructs better than nearest rounding on the calibration samples
+    # (with few iters the relaxation may not have binarized, making the hard
+    # threshold arbitrary — the reference relies on 5000-iter anneals)
+    def recon_err(q_params, act):
+        y = unit_apply(q_params, x)
+        if act is not None:
+            y = spec_a.apply(y, jnp.maximum(act[0], 1e-8), act[1])
+        return jnp.mean(jnp.abs(y - y_fp) ** 2)
+
     new_act = (
         (jnp.maximum(opt_vars["act_delta"], 1e-8), act_zp)
         if act_delta is not None else None
     )
-    return q_params, new_act, float(recon)
+    old_act = (act_delta, act_zp) if act_delta is not None else None
+    q_learned = quantize_params(opt_vars["alphas"], hard=True)
+    q_nearest = quantize_params(
+        jax.tree.map(lambda a: a * 1e3, alphas), hard=True
+    )  # saturated init-alphas == nearest rounding
+    e_learned = float(recon_err(q_learned, new_act))
+    e_nearest = float(recon_err(q_nearest, old_act))
+    if e_learned <= e_nearest:
+        return q_learned, new_act, e_learned
+    return q_nearest, old_act, e_nearest
 
 
 def adaround_reconstruct(model, variables, calib_batches,
