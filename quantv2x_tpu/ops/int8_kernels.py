@@ -185,30 +185,36 @@ def int8_conv_requant(x_q, w_q, x_zp, scale, bias=None, relu=False,
     int8 (x - 128) and correct with an ones-mask conv of the kernel sum.
     """
     kh, kw, ci, co = w_q.shape
+    # pad with the ZERO-POINT code (float 0 == code zp): every out-of-image
+    # tap then contributes exactly zp*w, so the zero-point correction is the
+    # per-channel constant eff_zp * sum(w) — no second conv needed, and the
+    # result is exact for SAME padding, strides, and grouped convs alike
+    zp_code = jnp.round(jnp.float32(x_zp)).astype(jnp.int32)
     xs = (x_q.astype(jnp.int32) - 128).astype(jnp.int8)
+
+    def same_pad(in_size, k, s):
+        out = -(-in_size // s)
+        total = max((out - 1) * s + k - in_size, 0)
+        return total // 2, total - total // 2
+
+    ph = same_pad(xs.shape[1], kh, strides[0])
+    pw = same_pad(xs.shape[2], kw, strides[1])
+    pad_val = (zp_code - 128).astype(jnp.int8)
+    xs = jnp.pad(
+        xs, ((0, 0), ph, pw, (0, 0)), constant_values=pad_val,
+    )
     dn = jax.lax.conv_dimension_numbers(
         xs.shape, w_q.shape, ("NHWC", "HWIO", "NHWC")
     )
     acc = jax.lax.conv_general_dilated(
-        xs, w_q.astype(jnp.int8), strides, "SAME",
+        xs, w_q.astype(jnp.int8), strides, "VALID",
         dimension_numbers=dn, preferred_element_type=jnp.int32,
         feature_group_count=groups,
     )
-    # per-position correction: (zp - 128) * conv(ones_mask, sum_ci w) — the
-    # per-output-channel kernel sum over its (group-local) input channels,
-    # so the same formula is exact for grouped convs
-    ones = jnp.ones(x_q.shape[:3] + (1,), jnp.float32)
-    wsum32 = w_q.astype(jnp.float32).sum(axis=2, keepdims=True)
-    dn1 = jax.lax.conv_dimension_numbers(
-        ones.shape, wsum32.shape, ("NHWC", "HWIO", "NHWC")
-    )
-    mask_conv = jax.lax.conv_general_dilated(
-        ones, wsum32, strides, "SAME", dimension_numbers=dn1,
-    )
     eff_zp = jnp.float32(x_zp) - 128.0
-    y = (acc.astype(jnp.float32) - eff_zp * mask_conv) * jnp.asarray(
-        scale, jnp.float32
-    )
+    ksum = w_q.astype(jnp.float32).sum(axis=(0, 1, 2))          # (co,)
+    y = (acc.astype(jnp.float32) - eff_zp * ksum[None, None, None, :]) * \
+        jnp.asarray(scale, jnp.float32)
     if bias is not None:
         y = y + jnp.asarray(bias, jnp.float32)
     if relu:
