@@ -166,7 +166,7 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
     kernel_items = [
         ("/".join(k.key for k in path), leaf)
         for path, leaf in flat_params
-        if path[-1].key == "kernel"
+        if path[-1].key in ("kernel", "conv_kernel_grouped")
     ]
     alphas = {
         p: alpha_init(w, w_scales_local[p][0]) for p, w in kernel_items

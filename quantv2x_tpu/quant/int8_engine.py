@@ -140,13 +140,19 @@ def build_engine_tables(model, variables, calib_batches,
     def walk(ptree, btree, prefix):
         if not isinstance(ptree, dict):
             return
-        if "conv" in ptree and isinstance(ptree["conv"], dict) \
-                and "kernel" in ptree["conv"]:
+        has_conv = ("conv" in ptree and isinstance(ptree["conv"], dict)
+                    and "kernel" in ptree["conv"])
+        has_grouped = "conv_kernel_grouped" in ptree
+        if has_conv or has_grouped:
             path_s = ptq_mod._path_str(prefix)
             if path_s not in in_ranges:
                 return
-            kernel = ptree["conv"]["kernel"]
-            conv_bias = ptree["conv"].get("bias")
+            if has_conv:
+                kernel = ptree["conv"]["kernel"]
+                conv_bias = ptree["conv"].get("bias")
+            else:
+                kernel = ptree["conv_kernel_grouped"]
+                conv_bias = None
             if "bn" in ptree:
                 bnp = ptree["bn"]
                 bns = (btree or {}).get("bn", {})

@@ -69,7 +69,8 @@ def quantize_weights(params, spec: QuantSpec = WEIGHT_SPEC,
 
     def visit(path, leaf):
         path_s = _path_str([p.key for p in path])
-        if path_s.endswith("kernel") and not _in_scope(path_s, skip_scopes):
+        if (path_s.endswith("kernel") or path_s.endswith("conv_kernel_grouped")) \
+                and not _in_scope(path_s, skip_scopes):
             delta, zp = spec.init(leaf)
             scales[path_s] = (delta, zp)
             return spec.apply(leaf, delta, zp)
