@@ -128,6 +128,29 @@ class GenComm(nn.Module):
         pred = self.denoiser(x_t, timestep_embedding(t), cond, train)
         return jnp.mean((pred - noise) ** 2)
 
+    def reconstruct(self, feats, message, rng, train: bool = False):
+        """Fast train-time reconstruction: one-step x0 estimate at a random
+        schedule time (the sampling chain is reserved for inference).
+
+        DDPM identity: x0 ≈ (x_t - sqrt(1-ā_t)·ε̂) / sqrt(ā_t). Using the
+        estimate keeps one denoiser call per train step (jit-friendly) while
+        still letting detection loss flow through the generated features —
+        the reference instead runs its generator inside forward
+        (heter_model_baseline_w_gencomm_stage1.py:284).
+        """
+        cfg = self.cfg
+        _, _, abar = make_schedule(cfg)
+        N = feats.shape[0]
+        t = jax.random.randint(jax.random.fold_in(rng, 2), (N,), 0,
+                               cfg.timesteps // 2)   # low-noise half
+        noise = jax.random.normal(jax.random.fold_in(rng, 3), feats.shape,
+                                  feats.dtype)
+        a = abar[t][:, None, None, None]
+        x_t = jnp.sqrt(a) * feats + jnp.sqrt(1 - a) * noise
+        cond = self._cond(message, feats.shape[1:3])
+        eps = self.denoiser(x_t, timestep_embedding(t), cond, train)
+        return (x_t - jnp.sqrt(1 - a) * eps) / jnp.sqrt(a)
+
     def generate(self, message, shape, rng, message_present=True):
         """Reverse diffusion -> reconstructed features (N, H, W, C)."""
         cfg = self.cfg
@@ -150,3 +173,54 @@ class GenComm(nn.Module):
 
         x, _ = jax.lax.scan(body, x, step_idx)
         return x
+
+
+class GenCommCollabModel(nn.Module):
+    """GenComm end-to-end wrapper: frozen detection stack, live gencomm.
+
+    Parity: heter_model_baseline_w_gencomm_stage{1,2}.py. Collaborators
+    transmit only the compact message; the ego regenerates their BEV
+    features by conditional diffusion and fuses as usual (ego keeps its own
+    true feature). Stages select what trains (model_train_init_stage2 at
+    stage2 :205-227):
+      1 — denoiser + extractor (detection heads/fusion frozen)
+      2 — collaborator message extractor only (gencomm denoiser frozen too)
+    ``missing_rate`` > 0 simulates dropped message pixels at inference
+    (missing_message flag, stage2 :289).
+    """
+    base_model: nn.Module           # PyramidCollabModel (frozen)
+    cfg: GenCommCfg
+    missing_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.gencomm = GenComm(self.cfg, dtype=self.dtype)
+
+    def __call__(self, batch, train: bool = False, sample: bool = False):
+        feats = jax.lax.stop_gradient(
+            self.base_model.encode_agents(batch, train=False))
+        B, L = feats.shape[:2]
+        flat = feats.reshape(B * L, *feats.shape[2:])
+        rng = (self.make_rng("diffusion")
+               if self.has_rng("diffusion") else jax.random.PRNGKey(0))
+        msg = self.gencomm.extract(flat, train)
+        if not train and self.missing_rate > 0:
+            # ego (slot 0 of each frame) keeps its message; collaborators
+            # lose a random fraction of message pixels
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(rng, 9), 1.0 - self.missing_rate,
+                (B, L) + msg.shape[1:3] + (1,)).astype(msg.dtype)
+            keep = keep.at[:, 0].set(1.0)
+            msg = msg * keep.reshape(B * L, *msg.shape[1:3], 1)
+        ddpm = self.gencomm.denoise_loss(flat, msg, rng, train)
+        if sample:
+            recon = self.gencomm.generate(msg, flat.shape,
+                                          jax.random.fold_in(rng, 4))
+        else:
+            recon = self.gencomm.reconstruct(flat, msg, rng, train)
+        recon = recon.reshape(feats.shape)
+        collab = jnp.concatenate([feats[:, :1], recon[:, 1:]], axis=1)
+        out = self.base_model.fuse_and_predict(collab, batch, train=False)
+        out.update({"gt_feature": feats, "pred_feature": recon,
+                    "ddpm_loss": ddpm, "message": msg})
+        return out

@@ -40,7 +40,8 @@ class ModalityCfg:
     """One sensing modality branch (a YAML heter.modality_setting entry)."""
     name: str                      # "m1", "m2", ...
     core_method: str               # "point_pillar" | "second"
-    aligner: str = "identity"      # "identity" | "conv"
+    aligner: str = "identity"      # "identity" | "conv" | "convnext"
+    aligner_depth: int = 2         # convnext blocks (AlignNet 'convnext')
 
 
 class ConvAligner(nn.Module):
@@ -54,6 +55,23 @@ class ConvAligner(nn.Module):
         y = ConvBNReLU(self.channels, 3, act=False, dtype=self.dtype,
                        name="c2")(y, train)
         return x + y
+
+
+class ConvNextAligner(nn.Module):
+    """ConvNeXt aligner (AlignNet 'convnext',
+    feature_alignnet.py:27 / feature_alignnet_modules.py ConvEncoder):
+    a stack of depthwise-7x7 + LayerNorm + pointwise-MLP residual blocks."""
+    channels: int
+    depth: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from quantv2x_tpu.models.stamp import ConvNextBlock
+        for d in range(self.depth):
+            x = ConvNextBlock(self.channels, dtype=self.dtype,
+                              name=f"block{d}")(x)
+        return x
 
 
 class HeterCollabModel(nn.Module):
@@ -91,6 +109,10 @@ class HeterCollabModel(nn.Module):
             if m.aligner == "conv":
                 aligners[m.name] = ConvAligner(
                     c.backbone_filters[-1], dtype=dt,
+                    name=f"aligner_{m.name}")
+            elif m.aligner == "convnext":
+                aligners[m.name] = ConvNextAligner(
+                    c.backbone_filters[-1], depth=m.aligner_depth, dtype=dt,
                     name=f"aligner_{m.name}")
             else:
                 aligners[m.name] = None

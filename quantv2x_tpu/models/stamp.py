@@ -85,6 +85,57 @@ class Reverter(nn.Module):
         return y.reshape(lead + y.shape[1:])
 
 
+class StampCollabModel(nn.Module):
+    """STAMP end-to-end wrapper: frozen ego + protocol stacks, live bridge.
+
+    Parity: models/heter_model_baseline_w_stamp.py:132-305 and
+    tools/train_stamp.py:188-244. Stages:
+      - ``train_adapter``           -> (None, (FM, FP2M, FM2P2M, FP, FM2P))
+      - ``train_adapter_w_output``  -> (output_dict, feats)
+      - ``infer``                   -> output_dict only
+    where FM is the ego-modality agent feature, FP the protocol model's,
+    FM2P = adapter(FM), FP2M = reverter(FP), FM2P2M = reverter(adapter(FM)).
+
+    Collaboration runs in protocol space: every non-ego agent transmits
+    adapter(F) and the ego reverts it before fusion (the reference's
+    forward_adapter_and_reverter at heter_model_baseline_w_stamp.py:885-931),
+    so heterogeneous stacks interoperate without retraining the heads.
+    """
+    ego_model: nn.Module        # PyramidCollabModel (frozen)
+    protocol_model: nn.Module   # PyramidCollabModel (frozen, "m0")
+    protocol_channels: int
+    local_channels: int
+    stage: str = "train_adapter_w_output"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.bridge = StampBridge(self.protocol_channels,
+                                  self.local_channels, dtype=self.dtype)
+
+    def __call__(self, batch, train: bool = False):
+        fm = self.ego_model.encode_agents(batch, train=False)
+        fm = jax.lax.stop_gradient(fm)
+        feats = None
+        if self.stage != "infer":
+            fp = self.protocol_model.encode_agents(batch, train=False)
+            fp = jax.lax.stop_gradient(fp)
+            fm2p = self.bridge.adapter(fm)
+            fp2m = self.bridge.reverter(fp)
+            fm2p2m = self.bridge.reverter(fm2p)
+            feats = (fm, fp2m, fm2p2m, fp, fm2p)
+        else:
+            fm2p2m = self.bridge.reverter(self.bridge.adapter(fm))
+        if self.stage == "train_adapter":
+            return None, feats
+        # non-ego agents' features travel adapter->wire->reverter; the ego
+        # keeps its own local feature (agent slot 0 is always ego)
+        collab = jnp.concatenate([fm[:, :1], fm2p2m[:, 1:]], axis=1)
+        out = self.ego_model.fuse_and_predict(collab, batch, train=False)
+        if self.stage == "train_adapter_w_output":
+            return out, feats
+        return out
+
+
 class StampBridge(nn.Module):
     """Adapter + Reverter pair for one agent type.
 

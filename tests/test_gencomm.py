@@ -63,3 +63,59 @@ def test_denoiser_trains():
         if first is None:
             first = float(val)
     assert float(val) < first
+
+
+def test_collab_wrapper_stages():
+    """GenCommCollabModel: reconstruction path + stage-2 freeze scopes."""
+    import optax
+    from quantv2x_tpu.data.pipeline import frame_to_batch
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.data.voxelizer import VoxelCfg
+    from quantv2x_tpu.models.collab_model import ModelCfg, PyramidCollabModel
+    from quantv2x_tpu.models.gencomm import GenCommCollabModel
+    from quantv2x_tpu.train.trainer import OptimCfg, create_train_state
+
+    rng_range = (-19.2, -19.2, -3.0, 19.2, 19.2, 1.0)
+    voxel = VoxelCfg(lidar_range=rng_range, voxel_size=(0.4, 0.4, 4.0),
+                     max_points_per_voxel=8, max_voxels=512)
+    frame = make_frame(SyntheticCfg(lidar_range=rng_range, num_agents=2,
+                                    num_objects=4, points_per_agent=3000,
+                                    seed=5))
+    batch = frame_to_batch(frame, voxel, max_cav=2)
+    base = PyramidCollabModel(ModelCfg(voxel=voxel, max_cav=2),
+                              name="base_model")
+    cfg = GenCommCfg(channels=64, message_channels=4, timesteps=20,
+                     sample_steps=4)
+    model = GenCommCollabModel(base_model=base, cfg=cfg)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), batch, OptimCfg(steps_per_epoch=2),
+        trainable_predicate=lambda p: p.startswith("gencomm/extractor"),
+        init_rngs={"diffusion": jax.random.PRNGKey(7)},
+    )
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch, train=False, rngs={"diffusion": jax.random.PRNGKey(1)})
+    assert out["pred_feature"].shape == out["gt_feature"].shape
+    assert np.isfinite(float(out["ddpm_loss"]))
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+    def loss(p):
+        o, _ = model.apply({"params": p, "batch_stats": state.batch_stats},
+                           batch, train=True, mutable=["batch_stats"],
+                           rngs={"diffusion": jax.random.PRNGKey(2)})
+        return o["ddpm_loss"] + ((o["gt_feature"] - o["pred_feature"]) ** 2).mean()
+
+    grads = jax.jit(jax.grad(loss))(state.params)
+    up, _ = tx.update(grads, state.opt_state, state.params)
+    new = optax.apply_updates(state.params, up)
+    # stage-2 freeze: base model and denoiser unchanged, extractor moves
+    for a, b in zip(jax.tree.leaves(state.params["base_model"]),
+                    jax.tree.leaves(new["base_model"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.params["gencomm"]["denoiser"]),
+                    jax.tree.leaves(new["gencomm"]["denoiser"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(state.params["gencomm"]["extractor"]),
+                             jax.tree.leaves(new["gencomm"]["extractor"]))]
+    assert any(moved)

@@ -67,3 +67,22 @@ def test_single_modality_fast_path(batch):
     out = model.apply(variables, b, train=False)
     h, w = 48, 48
     assert out["cls_preds"].shape == (1, h, w, 18)
+
+
+def test_convnext_aligner_variant(batch):
+    model = HeterCollabModel(
+        MODEL,
+        modalities=(
+            ModalityCfg("m1", "point_pillar", aligner="convnext",
+                        aligner_depth=1),
+            ModalityCfg("m2", "point_pillar"),
+        ),
+    )
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
+    )(batch)
+    # depthwise 7x7 kernel is the ConvNeXt signature
+    dw = variables["params"]["aligner_m1"]["block0"]["dw"]["kernel"]
+    assert dw.shape[:2] == (7, 7)
+    out = model.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
