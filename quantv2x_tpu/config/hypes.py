@@ -104,6 +104,7 @@ def build_hypes(raw: Dict[str, Any]) -> Hypes:
         shrink_dim=m.get("shrink_header", {}).get("dim", [256])[0],
         pyramid_block="bottleneck" if fb.get("resnext", True) else "basic",
         max_cav=raw.get("train_params", {}).get("max_cav", 4),
+        uncertainty_dim=m.get("uncertainty_dim", 0),
         dtype=m.get("dtype", "float32"),
     )
 

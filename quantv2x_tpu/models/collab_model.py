@@ -45,6 +45,7 @@ class ModelCfg:
     pyramid_up_filters: tuple = (128, 128, 128)
     shrink_dim: int = 256
     max_cav: int = 4
+    uncertainty_dim: int = 0   # 0 = off; 2/3/7 = log-variance head dims
     dtype: str = "float32"
     # "bottleneck" = reference ResNeXt (32 groups x 4 wide) — faithful but
     # feeds the 128x128 MXU 4-channel groups; "basic" = dense 3x3 blocks
@@ -76,10 +77,16 @@ class ShrinkConv(nn.Module):
 
 
 class DetectionHeads(nn.Module):
-    """1x1 multi-class heads (heter_pyramid_collab_mc.py:120-125)."""
+    """1x1 multi-class heads (heter_pyramid_collab_mc.py:120-125).
+
+    ``uncertainty_dim`` > 0 adds the log-variance head of the uncertainty
+    model family (point_pillar_uncertainty.py:32 unc_head; dim 2 = x,y,
+    3 = x,y,yaw, 7 = full box) and the call returns a 4-tuple.
+    """
     num_class: int
     anchor_num: int
     num_dir_bins: int
+    uncertainty_dim: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -90,6 +97,10 @@ class DetectionHeads(nn.Module):
         reg = nn.Conv(S * 7, (1, 1), dtype=self.dtype, name="reg_head")(x)
         dirp = nn.Conv(S * self.num_dir_bins, (1, 1), dtype=self.dtype,
                        name="dir_head")(x)
+        if self.uncertainty_dim:
+            unc = nn.Conv(S * self.uncertainty_dim, (1, 1), dtype=self.dtype,
+                          name="unc_head")(x)
+            return cls, reg, dirp, unc
         return cls, reg, dirp
 
 
@@ -116,7 +127,8 @@ class PyramidCollabModel(nn.Module):
         )
         self.shrink = ShrinkConv(c.shrink_dim, dtype=dt)
         self.heads = DetectionHeads(
-            c.num_class, c.anchor_num, c.num_dir_bins, dtype=dt
+            c.num_class, c.anchor_num, c.num_dir_bins,
+            uncertainty_dim=c.uncertainty_dim, dtype=dt,
         )
 
     def encode_agents(self, batch, train: bool = False):
@@ -157,13 +169,17 @@ class PyramidCollabModel(nn.Module):
             agent_feats, batch["agent_mask"], affine, train
         )
         fused = self.shrink(fused)
-        cls, reg, dirp = self.heads(fused)
-        return {
+        preds = self.heads(fused)
+        cls, reg, dirp = preds[:3]
+        out = {
             "cls_preds": cls,        # (B, h, w, S*C)
             "reg_preds": reg,        # (B, h, w, S*7)
             "dir_preds": dirp,       # (B, h, w, S*bins)
             "occ_maps": occ_maps,    # list of (B, L, hi, wi, 1)
         }
+        if c.uncertainty_dim:
+            out["unc_preds"] = preds[3]   # (B, h, w, S*unc_dim)
+        return out
 
     def __call__(self, batch, train: bool = False):
         feats = self.encode_agents(batch, train)
