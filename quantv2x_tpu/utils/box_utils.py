@@ -182,13 +182,80 @@ def _polygon_area(verts, count):
 
 
 def _quad_intersection_area(quad_a, quad_b):
-    """Intersection area of two CCW quads (4, 2) each."""
-    verts = jnp.zeros((_MAX_CLIP_VERTS, 2), quad_a.dtype).at[:4].set(quad_a)
-    count = jnp.asarray(4)
-    for k in range(4):
-        verts, count = _clip_against_edge(verts, count, quad_b[k], quad_b[(k + 1) % 4])
-    area = _polygon_area(verts, count)
-    return jnp.where(count >= 3, area, 0.0)
+    """Intersection area of two CCW quads (4, 2) each (single pair)."""
+    return _quad_intersection_area_batch(quad_a[None], quad_b[None])[0]
+
+
+def _cross2(a, b):
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def _points_in_quad(pts, quad):
+    """pts (..., K, 2) inside CCW quad (..., 4, 2) -> (..., K) bool.
+    Half-plane test against every edge (1e-9 slack keeps boundary points)."""
+    v1 = quad[..., :, None, :]                       # (..., 4, 1, 2)
+    v2 = jnp.roll(quad, -1, axis=-2)[..., :, None, :]
+    d = _cross2(v2 - v1, pts[..., None, :, :] - v1)  # (..., 4, K)
+    return (d >= -1e-9).all(axis=-2)
+
+
+def _quad_intersection_area_batch(qa, qb):
+    """Intersection areas of CCW quad pairs, fully batched: (P,4,2) x
+    (P,4,2) -> (P,).
+
+    Sort-free convex-intersection formulation (the standard GPU rotated-IoU
+    scheme, replacing Sutherland-Hodgman clipping whose per-edge compaction
+    needed batched argsorts/gathers — 30 ms for a 128x128 matrix on TPU):
+      1. candidates = corners of A in B ++ corners of B in A ++ the 16
+         edge-pair intersection points (24 fixed slots + validity mask);
+      2. every valid candidate's angular successor around the centroid is
+         found by a masked argmin over pairwise angle gaps (no sort);
+      3. successor coordinates come from a one-hot matmul (no gather);
+      4. area = sum of signed centroid triangles.
+    """
+    P = qa.shape[0]
+    # --- corner-in-other-quad candidates ---
+    a_in_b = _points_in_quad(qa, qb)                 # (P, 4)
+    b_in_a = _points_in_quad(qb, qa)                 # (P, 4)
+
+    # --- edge-edge intersections: edges a_i x b_j ---
+    a1 = qa[:, :, None, :]                           # (P, 4, 1, 2)
+    da = (jnp.roll(qa, -1, axis=1) - qa)[:, :, None, :]
+    b1 = qb[:, None, :, :]                           # (P, 1, 4, 2)
+    db = (jnp.roll(qb, -1, axis=1) - qb)[:, None, :, :]
+    denom = _cross2(da, db)                          # (P, 4, 4)
+    safe = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    t = _cross2(b1 - a1, db) / safe
+    u = _cross2(b1 - a1, da) / safe
+    hit = ((jnp.abs(denom) >= 1e-12)
+           & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0))
+    ipts = a1 + t[..., None] * da                    # (P, 4, 4, 2)
+
+    pts = jnp.concatenate(
+        [qa, qb, ipts.reshape(P, 16, 2)], axis=1)    # (P, 24, 2)
+    mask = jnp.concatenate(
+        [a_in_b, b_in_a, hit.reshape(P, 16)], axis=1)
+
+    K = 24
+    cnt = mask.sum(axis=1)
+    denom_c = jnp.maximum(cnt, 1)[:, None]
+    center = (pts * mask[..., None]).sum(axis=1) / denom_c
+    rel = pts - center[:, None, :]
+    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
+    # tiny index-based tiebreak makes duplicate candidates angularly
+    # distinct (duplicates then form zero-area triangles)
+    ang = ang + jnp.arange(K) * 1e-7
+
+    delta = ang[:, None, :] - ang[:, :, None]        # delta[i, j] = a_j - a_i
+    delta = jnp.where(delta <= 0, delta + 2 * jnp.pi, delta)
+    eye = jnp.eye(K, dtype=bool)
+    delta = jnp.where(mask[:, None, :] & ~eye, delta, jnp.inf)
+    succ = jnp.argmin(delta, axis=-1)                # (P, K)
+    onehot = jax.nn.one_hot(succ, K, dtype=rel.dtype)
+    rel_succ = jnp.einsum("pkj,pjc->pkc", onehot, rel)
+    tri = 0.5 * _cross2(rel, rel_succ)               # (P, K)
+    area = (tri * mask).sum(axis=1)
+    return jnp.where(cnt >= 3, jnp.abs(area), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("order_a", "order_b"))
@@ -201,7 +268,10 @@ def iou_matrix_rotated_bev(boxes_a, boxes_b, order_a: str = "lwh", order_b: str 
     qb = box_to_bev_quad(boxes_b, order_b)
     area_a = to_lwh(boxes_a, order_a)[:, 3] * to_lwh(boxes_a, order_a)[:, 4]
     area_b = to_lwh(boxes_b, order_b)[:, 3] * to_lwh(boxes_b, order_b)[:, 4]
-    inter = jax.vmap(lambda a: jax.vmap(lambda b: _quad_intersection_area(a, b))(qb))(qa)
+    N, M = qa.shape[0], qb.shape[0]
+    inter = _quad_intersection_area_batch(
+        jnp.repeat(qa, M, axis=0), jnp.tile(qb, (N, 1, 1))
+    ).reshape(N, M)
     union = area_a[:, None] + area_b[None, :] - inter
     return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
 
@@ -216,15 +286,15 @@ def iou_matrix_polygon(corners_a, corners_b):
     area_b = jnp.abs(jax.vmap(lambda q: _polygon_area(
         jnp.zeros((_MAX_CLIP_VERTS, 2), q.dtype).at[:4].set(q), jnp.asarray(4)))(qb))
 
-    def pair(a, b):
+    def ccw(q):
         # ensure CCW (warped/projected corners may flip orientation)
-        def ccw(q):
-            buf = jnp.zeros((_MAX_CLIP_VERTS, 2), q.dtype).at[:4].set(q)
-            ar = _polygon_area(buf, jnp.asarray(4))
-            return jnp.where(ar < 0, q[::-1], q)
-        return _quad_intersection_area(ccw(a), ccw(b))
+        ar = _cross2(q, jnp.roll(q, -1, axis=-2)).sum(axis=-1)
+        return jnp.where((ar < 0)[..., None, None], q[..., ::-1, :], q)
 
-    inter = jax.vmap(lambda a: jax.vmap(lambda b: pair(a, b))(qb))(qa)
+    N, M = qa.shape[0], qb.shape[0]
+    inter = _quad_intersection_area_batch(
+        jnp.repeat(ccw(qa), M, axis=0), jnp.tile(ccw(qb), (N, 1, 1))
+    ).reshape(N, M)
     union = area_a[:, None] + area_b[None, :] - inter
     return jnp.where(union > 0, inter / jnp.maximum(union, 1e-12), 0.0)
 

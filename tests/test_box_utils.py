@@ -231,3 +231,45 @@ def test_points_in_rotated_boxes():
     ])
     m = np.asarray(bu.points_in_rotated_boxes(pts, boxes))
     assert m[0].tolist() == [True, True, False, True, False]
+
+
+class TestQuadIntersectionFuzz:
+    def test_batch_matches_numpy_clipping_oracle(self):
+        """The sort-free batched intersection must match a straightforward
+        numpy Sutherland-Hodgman implementation on random rotated pairs."""
+        def np_clip_area(qa, qb):
+            poly = list(qa)
+            for k in range(4):
+                p1, p2 = qb[k], qb[(k + 1) % 4]
+                edge = p2 - p1
+                out = []
+                for i in range(len(poly)):
+                    cur, nxt = poly[i], poly[(i + 1) % len(poly)]
+                    dc = edge[0] * (cur - p1)[1] - edge[1] * (cur - p1)[0]
+                    dn = edge[0] * (nxt - p1)[1] - edge[1] * (nxt - p1)[0]
+                    if dc >= 0:
+                        out.append(cur)
+                    if (dc >= 0) != (dn >= 0):
+                        t = dc / (dc - dn)
+                        out.append(cur + t * (nxt - cur))
+                poly = out
+                if not poly:
+                    return 0.0
+            x = np.array([p[0] for p in poly])
+            y = np.array([p[1] for p in poly])
+            return 0.5 * abs(np.dot(x, np.roll(y, -1))
+                             - np.dot(y, np.roll(x, -1)))
+
+        rng = np.random.default_rng(0)
+        boxes = np.zeros((64, 7), np.float32)
+        boxes[:, :2] = rng.uniform(-3, 3, (64, 2))
+        boxes[:, 3] = rng.uniform(1, 5, 64)   # l
+        boxes[:, 4] = rng.uniform(1, 3, 64)   # w
+        boxes[:, 5] = 1.0
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, 64)
+        qa = np.asarray(bu.box_to_bev_quad(jnp.asarray(boxes[:32])))
+        qb = np.asarray(bu.box_to_bev_quad(jnp.asarray(boxes[32:])))
+        got = np.asarray(bu._quad_intersection_area_batch(
+            jnp.asarray(qa), jnp.asarray(qb)))
+        want = np.array([np_clip_area(a, b) for a, b in zip(qa, qb)])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
