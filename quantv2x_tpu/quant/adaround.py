@@ -11,12 +11,17 @@ Parity targets:
     linearly decaying temperature b: 20 -> 2 after 20% warmup, 5000 iters
     (defaults: tools/inference_mc_quant.py:269-298).
 
-Known approximation: unit inputs are captured ONCE from the initially
-quantized model; the reference re-runs the network per block so later blocks
-see the refined predecessors (block_recon save_inp_oup_data per block).
-Sequential re-capture is a planned refinement; a per-unit safety fallback
-keeps nearest rounding whenever the learned rounding fails to beat it on the
-calibration samples.
+Capture modes (ReconCfg.sequential):
+  - sequential=True (default, reference parity): each unit's input is
+    re-captured from the partially-reconstructed model right before its
+    optimization, so later units see their refined predecessors (the
+    reference's per-block save_inp_oup_data + StopForwardException,
+    quant/data_utils.py:94-137); capture early-exits at the target unit.
+  - sequential=False: all unit inputs captured once from the minmax
+    quantized model (cheaper: 2 forward passes total instead of one per
+    unit).
+A per-unit safety fallback keeps nearest rounding whenever the learned
+rounding fails to beat it on the calibration samples.
 
 Functional design: each quantization unit (ConvBNReLU / PFNLayer / head
 conv) is captured via interception — its input batch (from the
@@ -82,6 +87,7 @@ class ReconCfg:
     alpha_lr: float = 1e-2           # reference 1e-3..1e-2 range
     act_lr: float = 4e-5             # LSQ lr (inference_mc_quant.py:287)
     batch_size: int = 8192           # max samples per unit (0 = all)
+    sequential: bool = True          # per-unit input re-capture (parity)
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +141,76 @@ def capture_units(model, variables, qvariables, act_scales, batches,
         with nn.intercept_methods(make_cap("out", False)):
             model.apply(variables, batch, train=False)
     return store
+
+
+class _StopCapture(Exception):
+    """Early exit once the target unit's input is captured (parity:
+    quant/data_utils.py StopForwardException:94-120)."""
+
+
+def capture_fp_outputs(model, variables, batches, cfg: ptq_mod.PTQConfig):
+    """One FP pass per batch: per-unit FP outputs + module clones, in
+    first-execution order (dict insertion order = reconstruction order)."""
+    store: Dict[str, dict] = {}
+
+    def interceptor(next_fn, args, kwargs, context):
+        module = context.module
+        path_s = ptq_mod._path_str(module.path)
+        is_unit = (
+            context.method_name == "__call__"
+            and ptq_mod._is_unit(module, path_s, cfg.output_heads)
+            and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
+        )
+        out = next_fn(*args, **kwargs)
+        if is_unit:
+            ent = store.setdefault(
+                path_s, {"outputs": [], "module": None})
+            ent["module"] = module.clone(parent=None)
+            ent["outputs"].append(jax.device_get(out))
+        return out
+
+    for batch in batches:
+        with nn.intercept_methods(interceptor):
+            model.apply(variables, batch, train=False)
+    return store
+
+
+def capture_unit_inputs(model, qvariables, act_scales, batches,
+                        cfg: ptq_mod.PTQConfig, target: str):
+    """Capture ONE unit's inputs from the quantized-so-far model, applying
+    the activation fake-quant of every predecessor unit; aborts the forward
+    at the target (reference GetLayerInpOut semantics)."""
+    inputs: List[np.ndarray] = []
+    extra_args: List[tuple] = []
+
+    def interceptor(next_fn, args, kwargs, context):
+        module = context.module
+        path_s = ptq_mod._path_str(module.path)
+        is_unit = (
+            context.method_name == "__call__"
+            and ptq_mod._is_unit(module, path_s, cfg.output_heads)
+            and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
+        )
+        if is_unit and path_s == target:
+            inputs.append(jax.device_get(args[0]))
+            extra_args.append(
+                tuple(jax.device_get(a) if isinstance(a, jax.Array) else a
+                      for a in args[1:])
+            )
+            raise _StopCapture
+        out = next_fn(*args, **kwargs)
+        if is_unit and path_s in act_scales:
+            delta, zp = act_scales[path_s]
+            out = cfg.act_spec.apply(out, delta, zp).astype(out.dtype)
+        return out
+
+    for batch in batches:
+        try:
+            with nn.intercept_methods(interceptor):
+                model.apply(qvariables, batch, train=False)
+        except _StopCapture:
+            pass
+    return inputs, extra_args
 
 
 # ---------------------------------------------------------------------------
@@ -309,13 +385,15 @@ def adaround_reconstruct(model, variables, calib_batches,
     _, w_scales = ptq_mod.quantize_weights(
         variables["params"], cfg.weight_spec, cfg.skip_scopes
     )
-    store = capture_units(model, variables, qvars, act_scales,
-                          calib_batches, cfg)
+    if rcfg.sequential:
+        store = capture_fp_outputs(model, variables, calib_batches, cfg)
+    else:
+        store = capture_units(model, variables, qvars, act_scales,
+                              calib_batches, cfg)
 
-    params = dict(variables["params"])
     qparams = qvars["params"]
     for path_s, ent in store.items():
-        if ent["module"] is None or not ent["inputs"] or not ent["outputs"]:
+        if ent["module"] is None or not ent["outputs"]:
             continue
         rel = path_s.split("/")
         fp_sub = _subtree(variables["params"], rel)
@@ -329,10 +407,20 @@ def adaround_reconstruct(model, variables, calib_batches,
         }
         if not w_local:
             continue
+        if rcfg.sequential:
+            # input from the partially-reconstructed model: predecessors
+            # already carry their hard-rounded weights + refined act steps
+            inputs, extra_args = capture_unit_inputs(
+                model, dict(qvars, params=qparams), act_scales,
+                calib_batches, cfg, path_s)
+        else:
+            inputs, extra_args = ent["inputs"], ent["extra_args"] or []
+        if not inputs:
+            continue
         act = act_scales.get(path_s)
         q_sub, new_act, recon = reconstruct_unit(
             ent["module"], fp_sub, bs_sub, w_local, act,
-            ent["inputs"], ent["outputs"], ent["extra_args"] or [],
+            inputs, ent["outputs"], extra_args,
             cfg.weight_spec, cfg.act_spec, rcfg, jax.random.PRNGKey(0),
         )
         qparams = _set_subtree(qparams, rel, q_sub)

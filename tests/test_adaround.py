@@ -126,9 +126,12 @@ class TestAdaRoundReconstruction:
         qv0, as0, qapply0 = ptq_calibrate(model, variables, batches[:1])
         base = qapply0(qv0, as0, batches[1])
 
+        # one-shot capture keeps this full-model test fast (69 units x
+        # per-unit forward re-capture is the sequential mode's cost); the
+        # dedicated sequential test below covers re-capture semantics
         qv, asc, qapply = ar.adaround_reconstruct(
             model, variables, batches[:1],
-            rcfg=ar.ReconCfg(iters=200),
+            rcfg=ar.ReconCfg(iters=200, sequential=False),
         )
         refined = qapply(qv, asc, batches[1])
 
@@ -141,3 +144,71 @@ class TestAdaRoundReconstruction:
         # assert tracking rather than strict improvement; the single-layer
         # test above demonstrates the genuine AdaRound gain.
         assert np.corrcoef(r, fp_cls)[0, 1] > 0.99
+
+
+class TestSequentialRecapture:
+    """Sequential per-unit input re-capture (reference block_recon parity)."""
+
+    def _small_model(self):
+        import flax.linen as nn
+        from quantv2x_tpu.models.layers import ConvBNReLU
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                x = ConvBNReLU(8, 3, name="c1")(x, train)
+                x = ConvBNReLU(8, 3, name="c2")(x, train)
+                return ConvBNReLU(4, 1, act=False, name="c3")(x, train)
+
+        return Tiny()
+
+    def test_capture_order_and_early_exit(self):
+        from quantv2x_tpu.quant import ptq as ptq_mod
+
+        model = self._small_model()
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 8, 8, 4)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        cfg = ptq_mod.PTQConfig()
+        store = ar.capture_fp_outputs(model, variables, [x], cfg)
+        assert list(store) == ["c1", "c2", "c3"]  # execution order
+
+        qv, asc, _ = ptq_mod.ptq_calibrate(model, variables, [x], cfg)
+        ins, extras = ar.capture_unit_inputs(model, qv, asc, [x], cfg, "c2")
+        assert len(ins) == 1 and ins[0].shape == (2, 8, 8, 8)
+
+    def test_recaptured_input_reflects_refined_predecessor(self):
+        """After zeroing c1's params in the quant tree, c2's re-captured
+        input must change — proving inputs flow through the current
+        partially-reconstructed model, not a stale one-shot capture."""
+        from quantv2x_tpu.quant import ptq as ptq_mod
+
+        model = self._small_model()
+        x = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 8, 8, 4)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        cfg = ptq_mod.PTQConfig()
+        qv, asc, _ = ptq_mod.ptq_calibrate(model, variables, [x], cfg)
+
+        ins_before, _ = ar.capture_unit_inputs(model, qv, asc, [x], cfg, "c2")
+        zeroed = jax.tree.map(jnp.zeros_like, qv["params"]["c1"])
+        qv2 = dict(qv, params=dict(qv["params"], c1=zeroed))
+        ins_after, _ = ar.capture_unit_inputs(model, qv2, asc, [x], cfg, "c2")
+        assert not np.allclose(ins_before[0], ins_after[0])
+
+    def test_sequential_pipeline_tracks_fp(self):
+        from quantv2x_tpu.quant import ptq as ptq_mod
+
+        model = self._small_model()
+        rng = np.random.default_rng(2)
+        xs = [jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+              for _ in range(2)]
+        variables = model.init(jax.random.PRNGKey(0), xs[0], train=False)
+        fp = model.apply(variables, xs[1], train=False)
+        qv, asc, qapply = ar.adaround_reconstruct(
+            model, variables, xs[:1],
+            rcfg=ar.ReconCfg(iters=100, sequential=True))
+        out = qapply(qv, asc, xs[1])
+        r = np.asarray(out).ravel()
+        assert np.isfinite(r).all()
+        assert np.corrcoef(r, np.asarray(fp).ravel())[0, 1] > 0.99
