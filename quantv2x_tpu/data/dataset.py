@@ -271,3 +271,23 @@ class V2XDataset:
             "gt_classes": gt_classes,
             "gt_mask": gt_mask,
         }
+
+
+class V2XSETDataset(V2XDataset):
+    """V2XSet: identical OPV2V directory layout (reference
+    v2xset_basedataset.py:9-28 — "All the same as OPV2V"); the single
+    broken camera scenario 2021_09_09_13_20_58 is dropped on scan."""
+
+    _BROKEN_SCENARIOS = ("2021_09_09_13_20_58",)
+
+    def __init__(self, root: str, **kwargs):
+        super().__init__(root, **kwargs)
+        self.scenarios = [
+            s for s in self.scenarios
+            if not any(b in s.get("name", "") for b in self._BROKEN_SCENARIOS)
+        ]
+        self.index = [
+            (si, ti)
+            for si, s in enumerate(self.scenarios)
+            for ti in range(len(s["timestamps"]))
+        ]

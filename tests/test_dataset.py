@@ -97,3 +97,28 @@ def test_pipeline_integration(fake_root):
     batch = frame_to_batch(ds[0], voxel, max_cav=2)
     assert batch["voxel_features"].shape[:2] == (1, 2)
     assert bool(batch["voxel_mask"].any())
+
+
+class TestV2XSET:
+    def test_alias_loads_same_format(self, fake_root):
+        from quantv2x_tpu.data.dataset import V2XSETDataset
+
+        ds = V2XSETDataset(fake_root, dataset_mode="v2v", max_cav=2,
+                           max_points=1000)
+        f = ds[0]
+        assert f["agent_points"].shape == (2, 1000, 4)
+        assert f["gt_mask"].any()
+
+    def test_broken_scenario_dropped(self, tmp_path, fake_root):
+        import shutil
+        from quantv2x_tpu.data.dataset import V2XSETDataset
+
+        root = tmp_path / "v2xset"
+        shutil.copytree(fake_root, root)
+        shutil.move(str(root / "scene_a"),
+                    str(root / "2021_09_09_13_20_58"))
+        ds = V2XSETDataset(str(root), dataset_mode="v2v", max_cav=2,
+                           max_points=1000)
+        names = {s["name"] for s in ds.scenarios}
+        assert "2021_09_09_13_20_58" not in names
+        assert "scene_b" in names
