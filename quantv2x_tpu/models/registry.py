@@ -1,0 +1,153 @@
+"""Top-level model registry: YAML ``model.core_method`` -> model instance.
+
+Parity: tools/train_utils.create_model:258-291 — the reference resolves the
+core_method string to a class via importlib + case-insensitive match. Here
+the mapping is an explicit dict (typo-proof, grep-able) and returns a
+ready-to-init flax module plus its batch contract:
+
+  contract "collab": __call__(batch_dict, train)  — the cooperative batch
+      from data/pipeline.frame_to_batch (voxel stacks + agent axis);
+  contract "voxels": __call__(voxel_dict, train)  — one agent's voxelizer
+      output (single-agent models);
+  contract "bev":    __call__(bev_raster, train)  — dense BEV input (PIXOR);
+  contract "frame":  __call__(frame_dict, anchors, train) — FPV-RCNN's
+      stacked-agent frame.
+
+Reference names accepted (case-insensitive, `_mc` suffix ignored — the
+multi-class variants differ only in head widths, which ModelCfg carries):
+heter_pyramid_collab, heter_pyramid_collab_codebook(_encdec),
+heter_pyramid_single, point_pillar(_single), point_pillar_baseline
+(+ fusion_method arg for max/att/disconet/v2vnet/where2comm/who2com/
+cobevt/v2xvit/f_cooper), pixor, ciassd, fpvrcnn, second, center_point.
+"""
+
+import dataclasses
+from typing import Optional
+
+from quantv2x_tpu.config.hypes import Hypes
+
+
+def _codebook_from(args: dict, dtype):
+    from quantv2x_tpu.models.codebook import CodebookCompressor
+    cb = args.get("codebook", {})
+    levels = int(cb.get("levels", 3))
+    return CodebookCompressor(
+        channel=int(cb.get("channel", 64)),
+        seg_num=int(cb.get("seg_num", 2)),
+        dict_sizes=tuple([int(cb.get("dict_size", 256))] * levels),
+        dtype=dtype,
+    )
+
+
+def _modalities_from(raw: dict):
+    from quantv2x_tpu.models.heter_model import ModalityCfg
+    het = raw.get("heter", {})
+    setting = het.get("modality_setting", {})
+    mods = []
+    for name, m in setting.items():
+        core = (m.get("core_method") or
+                m.get("sensor_type", "point_pillar"))
+        core = "point_pillar" if "pillar" in core else core
+        mods.append(ModalityCfg(
+            name=name,
+            core_method="second" if "second" in core else "point_pillar",
+            aligner=m.get("aligner", {}).get("core_method", "identity")
+            if isinstance(m.get("aligner"), dict)
+            else m.get("aligner", "identity"),
+        ))
+    return tuple(mods) or (ModalityCfg("m1", "point_pillar"),)
+
+
+def create_model(hypes: Hypes, max_cav: Optional[int] = None):
+    """Resolve hypes.raw['model']['core_method'] -> (model, contract)."""
+    raw = hypes.raw
+    name = raw["model"]["core_method"].lower()
+    args = raw["model"].get("args", {})
+    base = name.replace("_mc", "").replace("_3class", "")
+    mcfg = hypes.model
+    if max_cav is not None:
+        mcfg = dataclasses.replace(mcfg, max_cav=max_cav)
+    dt = mcfg.jnp_dtype
+
+    if base in ("heter_pyramid_collab", "pyramid_collab"):
+        from quantv2x_tpu.models.collab_model import PyramidCollabModel
+        return PyramidCollabModel(mcfg), "collab"
+
+    if base.startswith("heter_pyramid_collab_codebook"):
+        from quantv2x_tpu.models.collab_model import PyramidCollabModel
+        return (PyramidCollabModel(mcfg,
+                                   compressor=_codebook_from(args, dt)),
+                "collab")
+
+    if base in ("heter_pyramid_single", "point_pillar_single",
+                "point_pillar"):
+        from quantv2x_tpu.models.single_model import PyramidSingleModel
+        return PyramidSingleModel(mcfg), "voxels"
+
+    if base.startswith("heter_collab") or base.startswith("heter_model"):
+        from quantv2x_tpu.models.heter_model import HeterCollabModel
+        return (HeterCollabModel(mcfg, modalities=_modalities_from(raw)),
+                "collab")
+
+    if base.startswith("point_pillar_baseline") or base.startswith(
+            "baseline"):
+        from quantv2x_tpu.models.baseline_model import BaselineFusionModel
+        fusion = args.get("fusion_method",
+                          args.get("fusion_args", {}).get("core_method",
+                                                          "att"))
+        return BaselineFusionModel(mcfg, fusion_method=fusion), "collab"
+
+    if base == "pixor":
+        from quantv2x_tpu.models.pixor import PIXOR, PixorCfg
+        geom = args.get("geometry_param", {})
+        pcfg = PixorCfg(
+            lidar_range=mcfg.voxel.lidar_range,
+            res=float(geom.get("res", 0.2)),
+            use_bn=bool(args.get("use_bn", True)),
+            dtype=mcfg.dtype,
+        )
+        return PIXOR(pcfg), "bev"
+
+    if base == "ciassd":
+        from quantv2x_tpu.models.ciassd import CIASSD, CiassdCfg
+        from quantv2x_tpu.models.second_encoder import SecondCfg
+        scfg = SecondCfg(lidar_range=mcfg.voxel.lidar_range,
+                         voxel_size=tuple(
+                             args.get("voxel_size",
+                                      mcfg.voxel.voxel_size)))
+        return (CIASSD(CiassdCfg(second=scfg, anchor_num=mcfg.anchor_num,
+                                 num_class=mcfg.num_class,
+                                 dtype=mcfg.dtype)),
+                "voxels")
+
+    if base == "fpvrcnn":
+        from quantv2x_tpu.models.ciassd import CiassdCfg
+        from quantv2x_tpu.models.fpvrcnn import FPVRCNN, FpvrcnnCfg
+        from quantv2x_tpu.models.second_encoder import SecondCfg
+        scfg = SecondCfg(lidar_range=mcfg.voxel.lidar_range,
+                         voxel_size=tuple(
+                             args.get("voxel_size",
+                                      mcfg.voxel.voxel_size)))
+        return (FPVRCNN(FpvrcnnCfg(
+            ciassd=CiassdCfg(second=scfg, anchor_num=mcfg.anchor_num,
+                             num_class=1, dtype=mcfg.dtype))),
+                "frame")
+
+    if base == "second":
+        from quantv2x_tpu.models.second_encoder import SECONDEncoder, SecondCfg
+        return (SECONDEncoder(SecondCfg(
+            lidar_range=mcfg.voxel.lidar_range,
+            voxel_size=tuple(args.get("voxel_size",
+                                      mcfg.voxel.voxel_size)))),
+                "voxels")
+
+    if base == "center_point":
+        from quantv2x_tpu.models.collab_model import PyramidCollabModel
+        # collab trunk with the anchor-free CenterHead swapped in is built
+        # by tools/train (head flag); the plain registry returns the trunk
+        return PyramidCollabModel(mcfg), "collab"
+
+    raise KeyError(
+        f"unknown model.core_method {name!r}; known: heter_pyramid_collab"
+        "(_codebook), heter_pyramid_single, point_pillar(_baseline), "
+        "heter_collab, pixor, ciassd, fpvrcnn, second, center_point")

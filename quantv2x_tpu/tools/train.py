@@ -54,7 +54,13 @@ def main():
 
     import dataclasses
     model_cfg = dataclasses.replace(hypes.model, max_cav=max_cav)
-    model = PyramidCollabModel(model_cfg)
+    from quantv2x_tpu.models.registry import create_model
+    model, contract = create_model(hypes, max_cav=max_cav)
+    if contract != "collab":
+        raise SystemExit(
+            f"train.py drives the cooperative batch contract; "
+            f"{hypes.raw['model']['core_method']!r} is a {contract!r}-"
+            "contract model — use its dedicated driver/tests")
 
     # ---- data ------------------------------------------------------------
     print(f"[train] generating {args.synthetic} synthetic frames...")
