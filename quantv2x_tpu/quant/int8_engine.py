@@ -136,7 +136,12 @@ def build_engine_tables(model, variables, calib_batches,
     batch_stats = variables.get("batch_stats", {})
     tables: Dict[str, UnitTable] = {}
 
-    # locate every ConvBNReLU's params by walking the tree for "conv/kernel"
+    # locate every ConvBNReLU's params by walking the tree for "conv/kernel";
+    # the walk only COLLECTS references — all table math runs in one jit
+    # below (the previous per-unit eager math was ~10 dispatches x 69 units
+    # over the remote-TPU tunnel, i.e. minutes of engine build)
+    specs: Dict[str, dict] = {}
+
     def walk(ptree, btree, prefix):
         if not isinstance(ptree, dict):
             return
@@ -153,34 +158,47 @@ def build_engine_tables(model, variables, calib_batches,
             else:
                 kernel = ptree["conv_kernel_grouped"]
                 conv_bias = None
-            if "bn" in ptree:
-                bnp = ptree["bn"]
-                bns = (btree or {}).get("bn", {})
-                w, b = fold_conv_bn(
-                    kernel, conv_bias, bnp["scale"], bnp["bias"],
-                    bns["mean"], bns["var"],
-                )
-            else:
-                w = kernel
-                b = conv_bias if conv_bias is not None else jnp.zeros(
-                    (kernel.shape[-1],), jnp.float32
-                )
-            wq, wd = quantize_weight_sym(w)
             lo, hi = in_ranges[path_s]
-            in_delta, in_zp = _delta_zp_from_range(
-                jnp.float32(lo), jnp.float32(hi), 8
-            )
-            tables[path_s] = UnitTable(
-                wq=wq, scale=in_delta * wd, bias=b,
-                in_delta=in_delta, in_zp=in_zp,
-                strides=(1, 1), groups=1, relu=True,  # refined at call time
-            )
+            specs[path_s] = {
+                "kernel": kernel, "conv_bias": conv_bias,
+                "bn": ptree.get("bn"),
+                "bn_stats": (btree or {}).get("bn") if "bn" in ptree else None,
+                "lo": jnp.float32(lo), "hi": jnp.float32(hi),
+            }
             return
         for k, v in ptree.items():
             walk(v, (btree or {}).get(k, {}) if isinstance(btree, dict) else {},
                  prefix + (k,))
 
     walk(params, batch_stats, ())
+
+    @jax.jit
+    def build_all(specs):
+        out = {}
+        for path_s, s in specs.items():
+            kernel, conv_bias = s["kernel"], s["conv_bias"]
+            if s["bn"] is not None:
+                w, b = fold_conv_bn(
+                    kernel, conv_bias, s["bn"]["scale"], s["bn"]["bias"],
+                    s["bn_stats"]["mean"], s["bn_stats"]["var"],
+                )
+            else:
+                w = kernel
+                b = (conv_bias if conv_bias is not None
+                     else jnp.zeros((kernel.shape[-1],), jnp.float32))
+            wq, wd = quantize_weight_sym(w)
+            in_delta, in_zp = _delta_zp_from_range(s["lo"], s["hi"], 8)
+            out[path_s] = dict(wq=wq, scale=in_delta * wd, bias=b,
+                               in_delta=in_delta, in_zp=in_zp)
+        return out
+
+    built = build_all(specs)
+    for path_s, t in built.items():
+        tables[path_s] = UnitTable(
+            wq=t["wq"], scale=t["scale"], bias=t["bias"],
+            in_delta=t["in_delta"], in_zp=t["in_zp"],
+            strides=(1, 1), groups=1, relu=True,  # refined at call time
+        )
     return tables
 
 
