@@ -19,7 +19,7 @@ badly-localized boxes.
 """
 
 import dataclasses
-from typing import Tuple
+
 
 import flax.linen as nn
 import jax

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from quantv2x_tpu.models.layers import BN_EPS, BN_MOMENTUM, ConvBNReLU
+from quantv2x_tpu.models.layers import ConvBNReLU
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,6 @@ validity mask and returns one, so downstream MLPs run dense on the MXU
 and masked reductions ignore padding.
 """
 
-import functools
 from typing import Tuple
 
 import jax
