@@ -71,3 +71,18 @@ def test_box_align_end_to_end():
     ))
     np.testing.assert_allclose(out[1], gt_poses[1], atol=0.05)
     np.testing.assert_allclose(out[0], gt_poses[0], atol=1e-3)
+
+
+def test_box_align_eval_driver():
+    """pose_graph_pre_calc/evaluate driver parity: alignment must cut the
+    injected localization error substantially."""
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.tools.box_align_eval import evaluate_alignment
+
+    frames = [make_frame(SyntheticCfg(num_agents=3, num_objects=10,
+                                      points_per_agent=2000, seed=s))
+              for s in range(4)]
+    out = evaluate_alignment(frames, pos_std=0.4, yaw_std_deg=2.0,
+                             max_cav=3, seed=0)
+    assert out["pos_err_after_m"] < out["pos_err_before_m"] * 0.25
+    assert out["yaw_err_after_deg"] < out["yaw_err_before_deg"]
