@@ -132,6 +132,16 @@ def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
         if "aux_loss" in out:
             total = total + out["aux_loss"]
             metrics = dict(metrics, aux_loss=out["aux_loss"])
+        if "unc_preds" in out:
+            # uncertainty head trains with the KL family (aux_losses);
+            # dim inferred from the head width vs the 7-dof reg head
+            from quantv2x_tpu.loss.aux_losses import (
+                UncertaintyCfg, uncertainty_loss)
+            S = out["reg_preds"].shape[-1] // 7
+            dim = out["unc_preds"].shape[-1] // S
+            unc = uncertainty_loss(out, labels, UncertaintyCfg(dim=dim))
+            total = total + unc
+            metrics = dict(metrics, unc_loss=unc)
         metrics = dict(metrics, total_loss=total)
         return total, (mutated, metrics)
 

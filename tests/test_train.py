@@ -58,3 +58,25 @@ def test_batch_stats_updated(setup):
     state2, _ = step(state, batch)
     after = jax.tree.leaves(state2.batch_stats)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_uncertainty_head_trains(setup):
+    """With uncertainty_dim set, the train step adds the KL loss and the
+    unc_head receives updates."""
+    import dataclasses
+
+    from quantv2x_tpu.loss.detection_loss import LossCfg
+    from quantv2x_tpu.models.collab_model import PyramidCollabModel
+
+    batch, _, _ = setup
+    model = PyramidCollabModel(dataclasses.replace(MODEL, uncertainty_dim=3))
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(1), batch, OptimCfg(steps_per_epoch=10))
+    step = jax.jit(make_train_step(model, tx, anc.generate_anchors(ANCHOR),
+                                   LossCfg()))
+    before = state.params["heads"]["unc_head"]["kernel"]
+    state2, metrics = step(state, batch)
+    assert "unc_loss" in metrics
+    assert np.isfinite(float(metrics["unc_loss"]))
+    after = state2.params["heads"]["unc_head"]["kernel"]
+    assert float(jnp.abs(after - before).sum()) > 0
