@@ -285,3 +285,66 @@ def decode_pixor(outputs, cfg: PixorCfg, top_k: int = 256):
     ], axis=-1).reshape(-1, 7)
     scores, idx = jax.lax.top_k(cls.ravel(), top_k)
     return boxes[idx], scores
+
+
+class PIXORIntermediate(nn.Module):
+    """Intermediate-fusion PIXOR (pixor_intermediate.py:20-95): the FPN
+    levels c3/c4/c5 are fused across agents with per-level AttFusion
+    before top-down decoding. Inputs are per-agent ego-frame BEV rasters
+    (proj-first), so the fusion affine is identity.
+
+    bev_inputs (B, L, H, W, C), agent_mask (B, L) -> {'cls','reg'}.
+    """
+    cfg: PixorCfg
+
+    @nn.compact
+    def __call__(self, bev_inputs, agent_mask, train: bool = False):
+        from quantv2x_tpu.models.fusion_lib import AttFusion
+
+        dt = jnp.dtype(self.cfg.dtype)
+        B, L = bev_inputs.shape[:2]
+        flat = bev_inputs.reshape((B * L,) + bev_inputs.shape[2:]).astype(dt)
+        bias = not self.cfg.use_bn
+
+        x = ConvBNReLU(32, 3, use_bn=self.cfg.use_bn, use_bias=bias,
+                       dtype=dt, name="stem1")(flat, train)
+        c1 = ConvBNReLU(32, 3, use_bn=self.cfg.use_bn, use_bias=bias,
+                        dtype=dt, name="stem2")(x, train)
+
+        def stage(h, planes, blocks, name):
+            h = PixorBottleneck(planes, strides=2, use_bn=self.cfg.use_bn,
+                                dtype=dt, name=f"{name}_0")(h, train)
+            for i in range(1, blocks):
+                h = PixorBottleneck(planes, use_bn=self.cfg.use_bn,
+                                    dtype=dt, name=f"{name}_{i}")(h, train)
+            return h
+
+        c2 = stage(c1, 24, 3, "block2")
+        c3 = stage(c2, 48, 6, "block3")
+        c4 = stage(c3, 64, 6, "block4")
+        c5 = stage(c4, 96, 3, "block5")
+
+        def fuse(feat, name):
+            _, h, w, ch = feat.shape
+            grouped = feat.reshape(B, L, h, w, ch)
+            ident = jnp.tile(
+                jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]),
+                (B, L, L, 1, 1))
+            return AttFusion(ch, dtype=dt, name=name)(
+                grouped, agent_mask, ident, train)
+
+        f3 = fuse(c3, "fusion3")     # (B, h3, w3, 192)
+        f4 = fuse(c4, "fusion4")
+        f5 = fuse(c5, "fusion5")
+
+        l5 = nn.Conv(196, (1, 1), dtype=dt, name="lat5")(f5)
+        l4 = nn.Conv(128, (1, 1), dtype=dt, name="lat4")(f4)
+        p5 = l4 + nn.ConvTranspose(128, (2, 2), strides=(2, 2),
+                                   dtype=dt, name="deconv1")(l5)
+        l3 = nn.Conv(96, (1, 1), dtype=dt, name="lat3")(f3)
+        p4 = l3 + nn.ConvTranspose(96, (2, 2), strides=(2, 2),
+                                   dtype=dt, name="deconv2")(p5)
+        cls, reg = PixorHeader(self.cfg.use_bn, dtype=dt, name="header")(
+            p4, train)
+        return {"cls": cls.astype(jnp.float32),
+                "reg": reg.astype(jnp.float32)}

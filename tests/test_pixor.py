@@ -120,3 +120,40 @@ class TestModelAndLoss:
         np.testing.assert_allclose(best[[0, 1]], [1.0, -2.0], atol=1e-4)
         np.testing.assert_allclose(best[[3, 4]], [4.0, 2.0], atol=1e-4)
         assert best[6] == pytest.approx(0.5, abs=1e-4)
+
+
+class TestPIXORIntermediate:
+    def test_two_agent_fusion_forward(self):
+        from quantv2x_tpu.models.pixor import PIXORIntermediate
+
+        cfg = TINY
+        H, W = cfg.bev_hw
+        rng = np.random.default_rng(4)
+        bev = jnp.asarray(
+            rng.random((1, 2, H, W, cfg.z_bins + 1)).astype(np.float32))
+        mask = jnp.ones((1, 2), bool)
+        model = PIXORIntermediate(cfg)
+        v = model.init(jax.random.PRNGKey(0), bev, mask, train=False)
+        out = model.apply(v, bev, mask, train=False)
+        h, w = cfg.label_hw
+        assert out["cls"].shape == (1, h, w, 1)
+        assert out["reg"].shape == (1, h, w, 6)
+
+    def test_masked_agent_ignored(self):
+        from quantv2x_tpu.models.pixor import PIXORIntermediate
+
+        cfg = TINY
+        H, W = cfg.bev_hw
+        rng = np.random.default_rng(5)
+        base = rng.random((1, 1, H, W, cfg.z_bins + 1)).astype(np.float32)
+        junk = 100 * np.ones((1, 1, H, W, cfg.z_bins + 1), np.float32)
+        bev = jnp.asarray(np.concatenate([base, junk], axis=1))
+        model = PIXORIntermediate(cfg)
+        m_both = jnp.ones((1, 2), bool)
+        m_solo = jnp.array([[True, False]])
+        v = model.init(jax.random.PRNGKey(0), bev, m_both, train=False)
+        out_solo = model.apply(v, bev, m_solo, train=False)
+        bev_clean = jnp.asarray(np.concatenate([base, base], axis=1))
+        out_clean = model.apply(v, bev_clean, m_solo, train=False)
+        np.testing.assert_allclose(np.asarray(out_solo["cls"]),
+                                   np.asarray(out_clean["cls"]), atol=1e-4)
