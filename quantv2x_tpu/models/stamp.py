@@ -20,14 +20,23 @@ import jax.numpy as jnp
 
 
 class ConvNextBlock(nn.Module):
+    """ConvNeXt residual block; ``deformable=True`` swaps the depthwise
+    conv for a deformable conv (feature_alignnet_modules.ConvEncoder
+    deformable flag, stamp_modules/feature_alignnet_modules.py:79-107)."""
     channels: int
+    deformable: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.channels, (7, 7), padding="SAME",
-                    feature_group_count=self.channels, dtype=self.dtype,
-                    name="dw")(x)
+        if self.deformable:
+            from quantv2x_tpu.ops.deform_conv import DeformableConv2d
+            y = DeformableConv2d(self.channels, dtype=self.dtype,
+                                 name="dw_deform")(x)
+        else:
+            y = nn.Conv(self.channels, (7, 7), padding="SAME",
+                        feature_group_count=self.channels, dtype=self.dtype,
+                        name="dw")(x)
         y = nn.LayerNorm(dtype=self.dtype, name="ln")(y)
         y = nn.Dense(4 * self.channels, dtype=self.dtype, name="pw1")(y)
         y = nn.gelu(y)
