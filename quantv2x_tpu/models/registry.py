@@ -97,6 +97,17 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
                                                           "att"))
         return BaselineFusionModel(mcfg, fusion_method=fusion), "collab"
 
+    if base == "pixor_intermediate":
+        from quantv2x_tpu.models.pixor import PIXORIntermediate, PixorCfg
+        geom = args.get("geometry_param", {})
+        pcfg = PixorCfg(
+            lidar_range=mcfg.voxel.lidar_range,
+            res=float(geom.get("res", 0.2)),
+            use_bn=bool(args.get("use_bn", True)),
+            dtype=mcfg.dtype,
+        )
+        return PIXORIntermediate(pcfg), "collab-bev"
+
     if base == "pixor":
         from quantv2x_tpu.models.pixor import PIXOR, PixorCfg
         geom = args.get("geometry_param", {})

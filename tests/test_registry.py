@@ -27,6 +27,7 @@ class TestRegistry:
         ("heter_pyramid_single", "voxels", "PyramidSingleModel"),
         ("point_pillar_baseline_mc", "collab", "BaselineFusionModel"),
         ("pixor", "bev", "PIXOR"),
+        ("pixor_intermediate", "collab-bev", "PIXORIntermediate"),
         ("ciassd", "voxels", "CIASSD"),
         ("fpvrcnn", "frame", "FPVRCNN"),
         ("second", "voxels", "SECONDEncoder"),
