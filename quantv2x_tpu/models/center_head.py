@@ -158,3 +158,38 @@ def decode_centers(outputs, cfg: CenterHeadCfg):
         "labels": cls,
         "valid": scores > cfg.score_threshold,
     }
+
+
+class CenterPointCollabModel(nn.Module):
+    """Cooperative CenterPoint: the pyramid collab trunk (encode agents ->
+    pyramid fuse -> shrink) with the anchor-free CenterHead in place of the
+    anchor heads (parity: models/center_point*.py over the same BEV trunk).
+    Takes the standard collab batch dict."""
+    model_cfg: "ModelCfg"            # quantv2x_tpu.models.collab_model
+    head_cfg: CenterHeadCfg = None
+
+    def setup(self):
+        from quantv2x_tpu.models.collab_model import PyramidCollabModel
+        import dataclasses as _dc
+        self.trunk = PyramidCollabModel(self.model_cfg, name="trunk")
+        hc = self.head_cfg or CenterHeadCfg(
+            num_classes=self.model_cfg.num_class,
+            lidar_range=self.model_cfg.voxel.lidar_range,
+            stride_m=self.model_cfg.voxel.voxel_size[0] * 2,
+        )
+        self.head = CenterHead(hc, dtype=self.model_cfg.jnp_dtype,
+                               name="center_head")
+
+    def __call__(self, batch, train: bool = False):
+        feats = self.trunk.encode_agents(batch, train)
+        from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
+        c = self.model_cfg
+        H, W = c.bev_hw
+        affine = normalize_pairwise_tfm(
+            batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0])
+        fused, occ_maps = self.trunk.pyramid.forward_collab(
+            feats, batch["agent_mask"], affine, train)
+        fused = self.trunk.shrink(fused)
+        out = self.head(fused)
+        out["occ_maps"] = occ_maps
+        return out

@@ -153,10 +153,8 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
                 "voxels")
 
     if base == "center_point":
-        from quantv2x_tpu.models.collab_model import PyramidCollabModel
-        # collab trunk with the anchor-free CenterHead swapped in is built
-        # by tools/train (head flag); the plain registry returns the trunk
-        return PyramidCollabModel(mcfg), "collab"
+        from quantv2x_tpu.models.center_head import CenterPointCollabModel
+        return CenterPointCollabModel(mcfg), "collab"
 
     raise KeyError(
         f"unknown model.core_method {name!r}; known: heter_pyramid_collab"

@@ -69,3 +69,27 @@ def test_loss_and_head_forward():
     out0 = {k: m[0] for k, m in out.items()}
     loss, metrics = center_loss(out0, t, mask)
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_centerpoint_collab_model_forward():
+    from quantv2x_tpu.data.pipeline import frame_to_batch
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.data.voxelizer import VoxelCfg
+    from quantv2x_tpu.models.center_head import CenterPointCollabModel
+    from quantv2x_tpu.models.collab_model import ModelCfg
+
+    rng_range = (-19.2, -19.2, -3.0, 19.2, 19.2, 1.0)
+    voxel = VoxelCfg(lidar_range=rng_range, voxel_size=(0.4, 0.4, 4.0),
+                     max_points_per_voxel=8, max_voxels=512)
+    mcfg = ModelCfg(voxel=voxel, max_cav=2)
+    frame = make_frame(SyntheticCfg(lidar_range=rng_range, num_agents=2,
+                                    num_objects=3, points_per_agent=2000,
+                                    seed=9))
+    batch = frame_to_batch(frame, voxel, max_cav=2)
+    model = CenterPointCollabModel(mcfg)
+    v = jax.jit(lambda b: model.init(jax.random.PRNGKey(0), b,
+                                     train=False))(batch)
+    out = model.apply(v, batch, train=False)
+    assert out["heatmap"].shape == (1, 48, 48, 3)
+    assert out["dim"].shape == (1, 48, 48, 3)
+    assert np.isfinite(np.asarray(out["heatmap"])).all()
