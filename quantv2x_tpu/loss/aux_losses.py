@@ -131,3 +131,24 @@ def depth_focal_loss(depth_logits, depth_gt_indices, weight: float = 1.0,
     if fg_mask is not None:
         loss = loss * fg_mask
     return loss.mean() * weight
+
+
+def clip_loss(emb1, emb2, logit_scale, weight: float = 1.0):
+    """Symmetric InfoNCE between two modality embedding sets
+    (loss/clip_loss.py:7-31: L2-normalize, scaled similarity logits,
+    cross-entropy against the diagonal matching, averaged both ways).
+
+    emb1/emb2: (N, D); logit_scale: scalar log-temperature parameter.
+    """
+    e1 = emb1 / jnp.maximum(
+        jnp.linalg.norm(emb1, axis=1, keepdims=True), 1e-8)
+    e2 = emb2 / jnp.maximum(
+        jnp.linalg.norm(emb2, axis=1, keepdims=True), 1e-8)
+    logits = jnp.exp(logit_scale) * (
+        e1.astype(jnp.float32) @ e2.astype(jnp.float32).T)
+    n = logits.shape[0]
+    targets = jnp.arange(n)
+    lp1 = jax.nn.log_softmax(logits, axis=-1)
+    lp2 = jax.nn.log_softmax(logits.T, axis=-1)
+    ce = -(lp1[targets, targets].mean() + lp2[targets, targets].mean()) / 2
+    return ce * weight

@@ -174,3 +174,23 @@ class TestUncertaintyHead:
         out = model.apply(variables, batch, train=False)
         S = cfg.anchor_num * cfg.num_class
         assert out["unc_preds"].shape[-1] == S * 3
+
+
+class TestClipLoss:
+    def test_matched_pairs_lower_than_shuffled(self):
+        from quantv2x_tpu.loss.aux_losses import clip_loss
+
+        rng = np.random.default_rng(0)
+        e = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+        matched = clip_loss(e, e, jnp.float32(2.0))
+        shuffled = clip_loss(e, e[::-1], jnp.float32(2.0))
+        assert float(matched) < float(shuffled)
+
+    def test_gradient_flows_to_scale(self):
+        from quantv2x_tpu.loss.aux_losses import clip_loss
+
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+        g = jax.grad(lambda s: clip_loss(a, b, s))(jnp.float32(0.0))
+        assert np.isfinite(float(g))
