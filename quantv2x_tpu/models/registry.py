@@ -152,11 +152,65 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
                                       mcfg.voxel.voxel_size)))),
                 "voxels")
 
-    if base == "center_point":
+    if base.startswith("center_point"):
+        # center_point / center_point_baseline(_multiscale) /
+        # center_point_intermediate / center_point_where2comm: all share the
+        # collab trunk; where2comm only changes the fusion gate
         from quantv2x_tpu.models.center_head import CenterPointCollabModel
         return CenterPointCollabModel(mcfg), "collab"
 
+    if base == "voxel_net_intermediate":
+        from quantv2x_tpu.models.voxelnet import (VoxelNetCfg,
+                                                  VoxelNetIntermediate)
+        vncfg = VoxelNetCfg(voxel=mcfg.voxel, anchor_num=mcfg.anchor_num,
+                            num_class=mcfg.num_class,
+                            compression=int(args.get("compression", 0)),
+                            dtype=mcfg.dtype)
+        return VoxelNetIntermediate(vncfg), "collab"
+
+    if base == "voxel_net":
+        from quantv2x_tpu.models.voxelnet import VoxelNet, VoxelNetCfg
+        vncfg = VoxelNetCfg(voxel=mcfg.voxel, anchor_num=mcfg.anchor_num,
+                            num_class=mcfg.num_class, dtype=mcfg.dtype)
+        return VoxelNet(vncfg), "voxels"
+
+    if base in ("lift_splat_shoot", "lift_splat_shoot_voxel",
+                "lift_splat_shoot_intermediate"):
+        from quantv2x_tpu.models.lss_encoder import LSSCfg, LSSEncoder
+        cam = args.get("img_params", {})
+        lcfg = LSSCfg(lidar_range=mcfg.voxel.lidar_range,
+                      image_size=tuple(cam.get("final_dim",
+                                               LSSCfg.image_size)))
+        return LSSEncoder(lcfg, dtype=mcfg.jnp_dtype), "camera"
+
+    if base in ("point_pillar_disconet", "point_pillar_disconet_teacher"):
+        # student = disco-fused baseline; teacher = early-fusion-style max
+        from quantv2x_tpu.models.baseline_model import BaselineFusionModel
+        fusion = "disconet" if base.endswith("disconet") else "max"
+        return BaselineFusionModel(mcfg, fusion_method=fusion), "collab"
+
+    if base == "point_pillar_uncertainty":
+        from quantv2x_tpu.models.single_model import PyramidSingleModel
+        ucfg = dataclasses.replace(
+            mcfg, uncertainty_dim=int(args.get("uncertainty_dim", 3)))
+        return PyramidSingleModel(ucfg), "voxels"
+
+    if base in ("second_ssfa", "second_ssfa_uncertainty"):
+        # SECOND encoder + SSFA neck + IoU-aware head = the CIA-SSD stack
+        from quantv2x_tpu.models.ciassd import CIASSD, CiassdCfg
+        from quantv2x_tpu.models.second_encoder import SecondCfg
+        scfg = SecondCfg(lidar_range=mcfg.voxel.lidar_range,
+                         voxel_size=tuple(
+                             args.get("voxel_size",
+                                      mcfg.voxel.voxel_size)))
+        return (CIASSD(CiassdCfg(second=scfg, anchor_num=mcfg.anchor_num,
+                                 num_class=mcfg.num_class,
+                                 dtype=mcfg.dtype)),
+                "voxels")
+
     raise KeyError(
         f"unknown model.core_method {name!r}; known: heter_pyramid_collab"
-        "(_codebook), heter_pyramid_single, point_pillar(_baseline), "
-        "heter_collab, pixor, ciassd, fpvrcnn, second, center_point")
+        "(_codebook), heter_pyramid_single, point_pillar(_baseline, "
+        "_disconet, _uncertainty), heter_collab, pixor, ciassd, fpvrcnn, "
+        "second(_ssfa), center_point*, voxel_net(_intermediate), "
+        "lift_splat_shoot")

@@ -49,7 +49,8 @@ class PyramidSingleModel(nn.Module):
         )
         self.shrink = ShrinkConv(c.shrink_dim, dtype=dt)
         self.heads = DetectionHeads(
-            c.num_class, c.anchor_num, c.num_dir_bins, dtype=dt
+            c.num_class, c.anchor_num, c.num_dir_bins,
+            uncertainty_dim=c.uncertainty_dim, dtype=dt
         )
 
     def __call__(self, voxels, train: bool = False):
@@ -63,11 +64,14 @@ class PyramidSingleModel(nn.Module):
         feat = self.backbone(bev, train)
         fused, occ = self.pyramid.forward_single(feat, train)
         fused = self.shrink(fused)
-        cls, reg, dirp = self.heads(fused)
-        return {
-            "cls_preds": cls, "reg_preds": reg, "dir_preds": dirp,
-            "occ_maps": occ,
+        preds = self.heads(fused)
+        out = {
+            "cls_preds": preds[0], "reg_preds": preds[1],
+            "dir_preds": preds[2], "occ_maps": occ,
         }
+        if c.uncertainty_dim:
+            out["unc_preds"] = preds[3]
+        return out
 
 
 def merge_points_to_ego(frame, max_points: Optional[int] = None):

@@ -31,6 +31,14 @@ class TestRegistry:
         ("ciassd", "voxels", "CIASSD"),
         ("fpvrcnn", "frame", "FPVRCNN"),
         ("second", "voxels", "SECONDEncoder"),
+        ("second_ssfa", "voxels", "CIASSD"),
+        ("center_point", "collab", "CenterPointCollabModel"),
+        ("center_point_where2comm", "collab", "CenterPointCollabModel"),
+        ("voxel_net", "voxels", "VoxelNet"),
+        ("voxel_net_intermediate", "collab", "VoxelNetIntermediate"),
+        ("lift_splat_shoot", "camera", "LSSEncoder"),
+        ("point_pillar_disconet", "collab", "BaselineFusionModel"),
+        ("point_pillar_uncertainty", "voxels", "PyramidSingleModel"),
     ])
     def test_resolution(self, name, contract, cls_name):
         model, got = create_model(_hypes_with(name))
