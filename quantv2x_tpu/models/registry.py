@@ -84,9 +84,13 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
         from quantv2x_tpu.models.single_model import PyramidSingleModel
         return PyramidSingleModel(mcfg), "voxels"
 
-    if base.startswith("heter_collab") or base.startswith("heter_model"):
+    if base.startswith("heter_collab") or base.startswith("heter_model") \
+            or base.startswith("heter_baseline_collab"):
+        # heter_baseline_collab_codebook(_mc) carries the codebook compressor
         from quantv2x_tpu.models.heter_model import HeterCollabModel
-        return (HeterCollabModel(mcfg, modalities=_modalities_from(raw)),
+        comp = _codebook_from(args, dt) if "codebook" in base else None
+        return (HeterCollabModel(mcfg, modalities=_modalities_from(raw),
+                                 compressor=comp),
                 "collab")
 
     if base.startswith("point_pillar_baseline") or base.startswith(

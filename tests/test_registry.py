@@ -53,6 +53,17 @@ class TestRegistry:
         assert model.compressor.seg_num == 4
         assert model.compressor.dict_sizes == (128, 128, 128)
 
+    def test_heter_baseline_codebook_has_compressor(self):
+        model, contract = create_model(
+            _hypes_with("heter_baseline_collab_codebook_mc"))
+        assert contract == "collab"
+        assert type(model).__name__ == "HeterCollabModel"
+        assert model.compressor is not None
+
+    def test_heter_model_has_no_compressor(self):
+        model, _ = create_model(_hypes_with("heter_model_baseline_mc"))
+        assert model.compressor is None
+
     def test_baseline_fusion_method_arg(self):
         model, _ = create_model(
             _hypes_with("point_pillar_baseline",
