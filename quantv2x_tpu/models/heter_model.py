@@ -196,11 +196,29 @@ class HeterCollabModel(nn.Module):
         return {"cls_preds": cls, "reg_preds": reg, "dir_preds": dirp,
                 "occ_maps": occ_maps}
 
-    def __call__(self, batch, train: bool = False):
+    def clip_embeddings(self, batch, train: bool = False):
+        """Per-modality pooled BEV embeddings of the SAME scene.
+
+        Parity: heter_pyramid_single_clip.py — every modality branch
+        encodes the frame and a symmetric InfoNCE loss
+        (loss/aux_losses.clip_loss) aligns the embedding spaces while the
+        shared pyramid/heads stay frozen. Returns {modality: (B*L, C)}
+        mean-pooled embeddings.
+        """
+        out = {}
+        for mod in self.modalities:
+            feat = self._branch_features(mod, batch, train)  # (B*L,h,w,C)
+            out[mod.name] = feat.mean(axis=(1, 2))
+        return out
+
+    def __call__(self, batch, train: bool = False,
+                 with_clip_embeddings: bool = False):
         feats = self.encode_agents(batch, train)
         aux = {}
         if self.compressor is not None:
             feats, aux = self.compressor(feats, train)
         out = self.fuse_and_predict(feats, batch, train)
         out.update(aux)
+        if with_clip_embeddings:
+            out["clip_embeddings"] = self.clip_embeddings(batch, train)
         return out

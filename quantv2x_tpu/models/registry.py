@@ -85,7 +85,11 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
         return PyramidSingleModel(mcfg), "voxels"
 
     if base.startswith("heter_collab") or base.startswith("heter_model") \
-            or base.startswith("heter_baseline_collab"):
+            or base.startswith("heter_baseline_collab") \
+            or base == "heter_pyramid_single_clip":
+        # the CLIP variant is the heter model driven with
+        # __call__(..., with_clip_embeddings=True) + loss/aux_losses
+        # .clip_loss on the returned per-modality embeddings
         # heter_baseline_collab_codebook(_mc) carries the codebook compressor
         from quantv2x_tpu.models.heter_model import HeterCollabModel
         comp = _codebook_from(args, dt) if "codebook" in base else None

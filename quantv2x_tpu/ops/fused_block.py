@@ -8,15 +8,21 @@ kernel reads the input tile once into VMEM, runs both convolutions as
 9 shifted MXU matmuls each (dot_general over the channel dim), and writes
 only the block output — ~3x byte reduction per block.
 
+Mosaic layout note: the W axis is the sublane dim, and sublane slices must
+be 8-aligned — so the column shifts of the 3x3 stencil CANNOT be expressed
+as `x[:, dx:dx+W]` slices. Instead everything is computed at full padded
+width and the dx shifts are `pltpu.roll` sublane rotations; rotation
+wraparound lands outside the image border and is zeroed by the SAME-padding
+mask (conv1) or discarded by the final trim (conv2/residual).
+
 Inference-path kernel: BatchNorm must be pre-folded into (w, b) (see
 quant/int8_engine.fold_conv_bn). Weights layout (3, 3, Cin, Cout).
 
 Grid: (N, H/H_T) row-tiles over a zero-padded input; each step DMAs a
-haloed (H_T+4, W+4, C) slice from HBM into VMEM scratch.
+haloed (H_T+4, Wt, C) slice from HBM into VMEM scratch.
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,10 +31,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xs, sem,
-            *, h_tile: int, w_out: int, h_orig: int, cin: int, cmid: int,
-            cout: int):
+            *, h_tile: int, w_t: int, w_out: int, h_orig: int, cmid: int,
+            cout: int, interpret: bool):
     n = pl.program_id(0)
     i = pl.program_id(1)
+
+    def roll_cols(v, dx):
+        # result[p] = v[p + dx] (wraparound handled by masking/trim);
+        # pltpu.roll requires a non-negative shift, so use the cyclic
+        # equivalent w_t - dx. Mosaic only rotates 32-bit data — bf16
+        # round-trips through f32 for the rotate (vector casts, cheap next
+        # to the 9 MXU dots).
+        if dx == 0:
+            return v
+        if interpret:
+            return jnp.roll(v, -dx, axis=1)
+        if v.dtype.itemsize == 4:
+            return pltpu.roll(v, w_t - dx, axis=1)
+        return pltpu.roll(v.astype(jnp.float32), w_t - dx,
+                          axis=1).astype(v.dtype)
 
     dma = pltpu.make_async_copy(
         x_hbm.at[n, pl.ds(i * h_tile, h_tile + 4)], xs, sem)
@@ -36,39 +57,44 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xs, sem,
     dma.wait()
 
     H1 = h_tile + 2          # conv1 output rows (feeds conv2)
-    W1 = w_out + 2
 
-    # conv1: 9 shifted matmuls, f32 accumulation on the MXU
-    acc1 = jnp.zeros((H1, W1, cmid), jnp.float32)
+    # conv1 at full width: h1[r, p] = conv1 output at global
+    # (row i*h_tile + r - 1, col p - 1); inputs live at xs[r + dy, p + dx]
+    acc1 = jnp.zeros((H1, w_t, cmid), jnp.float32)
     for dy in range(3):
+        rows = xs[dy:dy + H1]
         for dx in range(3):
-            patch = xs[dy:dy + H1, dx:dx + W1, :]
             acc1 = acc1 + jax.lax.dot_general(
-                patch, w1_ref[dy, dx],
+                roll_cols(rows, dx), w1_ref[dy, dx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
     h1 = jnp.maximum(acc1 + b1_ref[:].astype(jnp.float32), 0.0)
     # SAME-padding parity: the intermediate only exists INSIDE the image;
-    # conv2 must see zeros in the halo ring beyond the image borders
-    # (relu(bias) would otherwise leak in from outside)
+    # conv2 must see zeros beyond the borders (relu(bias) would otherwise
+    # leak in). The mask also kills rotation wraparound (cols >= w_out).
+    # 32-bit 0/1 multiply — Mosaic cannot reshape i1 vectors to add a minor
+    # dim, and relu output is >= 0 so multiply == where.
     row = (i * h_tile - 1
-           + jax.lax.broadcasted_iota(jnp.int32, (H1, W1), 0))
-    col = jax.lax.broadcasted_iota(jnp.int32, (H1, W1), 1) - 1
-    inside = ((row >= 0) & (row < h_orig) & (col >= 0) & (col < w_out))
-    h1 = jnp.where(inside[..., None], h1, 0.0).astype(xs.dtype)
+           + jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 0))
+    col = jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 1) - 1
+    inside = ((row >= 0) & (row < h_orig) & (col >= 0) &
+              (col < w_out)).astype(jnp.float32)
+    h1 = (h1 * inside).astype(xs.dtype)
 
-    # conv2 on the VMEM-resident intermediate
-    acc2 = jnp.zeros((h_tile, w_out, cout), jnp.float32)
+    # conv2 on the VMEM-resident intermediate: out[r, u] needs
+    # h1[r + dy, u + dx]
+    acc2 = jnp.zeros((h_tile, w_t, cout), jnp.float32)
     for dy in range(3):
+        rows = h1[dy:dy + h_tile]
         for dx in range(3):
-            patch = h1[dy:dy + h_tile, dx:dx + w_out, :]
             acc2 = acc2 + jax.lax.dot_general(
-                patch, w2_ref[dy, dx],
+                roll_cols(rows, dx), w2_ref[dy, dx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    residual = xs[2:2 + h_tile, 2:2 + w_out, :].astype(jnp.float32)
+    # residual: x at global (i*h_tile + r, u) = xs[r + 2, u + 2]
+    residual = roll_cols(xs[2:2 + h_tile], 2).astype(jnp.float32)
     y = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32) + residual, 0.0)
     out_ref[0] = y.astype(out_ref.dtype)
 
@@ -86,13 +112,21 @@ def fused_basic_block(x, w1, b1, w2, b2, h_tile: int = 16,
     assert w1.shape[2] == C and w2.shape[3] == C, "residual needs Cin==Cout"
     cmid = w1.shape[3]
     Hp = -(-H // h_tile) * h_tile           # round H up to tile multiple
-    xp = jnp.pad(x, ((0, 0), (2, 2 + Hp - H), (2, 2), (0, 0)))
+    Wt = -(-(W + 4) // 8) * 8               # sublane-aligned full width
+    # Mosaic's manual-DMA memref slices require the lane dim to be a
+    # multiple of 128 even at full extent — pad C (costs extra bytes only
+    # for the C=64 stage; the fused single round trip still nets out)
+    Cp = -(-C // 128) * 128 if not interpret else C
+    xp = jnp.pad(x, ((0, 0), (2, 2 + Hp - H), (2, Wt - W - 2), (0, Cp - C)))
+    w1p = jnp.pad(w1, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+    w2p = jnp.pad(w2, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
+    b2p = jnp.pad(b2, (0, Cp - C))
 
     grid = (N, Hp // h_tile)
     out = pl.pallas_call(
-        functools.partial(_kernel, h_tile=h_tile, w_out=W, h_orig=H,
-                          cin=C, cmid=cmid, cout=C),
-        out_shape=jax.ShapeDtypeStruct((N, Hp, W, C), x.dtype),
+        functools.partial(_kernel, h_tile=h_tile, w_t=Wt, w_out=W,
+                          h_orig=H, cmid=cmid, cout=Cp, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((N, Hp, Wt, Cp), x.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
@@ -102,17 +136,17 @@ def fused_basic_block(x, w1, b1, w2, b2, h_tile: int = 16,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b2
         ],
         out_specs=pl.BlockSpec(
-            (1, h_tile, W, C),
+            (1, h_tile, Wt, Cp),
             lambda n, i: (n, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((h_tile + 4, W + 4, C), x.dtype),
+            pltpu.VMEM((h_tile + 4, Wt, Cp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, w1, b1, w2, b2)
-    return out[:, :H]
+    )(xp, w1p, b1, w2p, b2p)
+    return out[:, :H, :W, :C]
 
 
 def basic_block_reference(x, w1, b1, w2, b2):

@@ -1,0 +1,147 @@
+"""BF16 fused inference engine: run BasicBlocks through the Pallas kernel.
+
+The deployment counterpart of int8_engine for the speed path. The tunneled
+chip (and BEV conv nets generally) is HBM-bandwidth-bound (BASELINE.md
+device calibration): XLA materializes every conv activation in HBM, so a
+ResNet BasicBlock costs three full feature-map round trips. The Pallas
+fused kernel (ops/fused_block.py) runs conv1+relu+conv2+residual+relu on a
+VMEM-resident tile — one read, one write.
+
+Engine build = a pure parameter transform, same pattern as
+int8_engine.build_engine_tables:
+
+  1. walk the variables tree for BasicBlock subtrees (children conv1/conv2,
+     no downsample — i.e. stride 1 and Cin == Cout, exactly the kernel's
+     residual contract);
+  2. fold each ConvBNReLU's BatchNorm into (w, b) in ONE jit;
+  3. at inference an interceptor replaces those BasicBlock.__call__s with
+     fused_basic_block; everything else (strided blocks, deconvs, heads)
+     stays on the stock XLA path.
+
+Reference analogue: TensorRT's vertical layer fusion applied to the
+exported engine (tools/build_trt.py) — here it is a runtime transform, no
+export step.
+"""
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quantv2x_tpu.models.layers import BasicBlock
+from quantv2x_tpu.ops.fused_block import fused_basic_block
+from quantv2x_tpu.quant import ptq as ptq_mod
+from quantv2x_tpu.quant.int8_engine import fold_conv_bn
+
+
+def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
+    """{block_path: (w1, b1, w2, b2)} for every fusable BasicBlock.
+
+    Fusable = stride-1, no downsample branch (the BasicBlock module only
+    creates `downsample` params when stride != 1 or Cin != planes, so its
+    absence certifies the kernel's residual contract).
+
+    ``min_channels``: skip blocks whose channel count is below this.
+    Mosaic's manual-DMA slices force lane padding to 128 channels, so C=64
+    blocks pay 2x bytes in the kernel — on a bandwidth-bound device fusing
+    only C>=128 blocks is the measured-faster configuration.
+    """
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    specs: Dict[str, dict] = {}
+
+    def walk(ptree, btree, prefix):
+        if not isinstance(ptree, dict):
+            return
+        is_block = (
+            "conv1" in ptree and "conv2" in ptree
+            and isinstance(ptree["conv1"], dict)
+            and "conv" in ptree.get("conv1", {})
+            and "bn" in ptree.get("conv1", {})
+            and "downsample" not in ptree
+        )
+        if is_block:
+            k1 = ptree["conv1"]["conv"]["kernel"]
+            k2 = ptree["conv2"]["conv"]["kernel"]
+            # 3x3 square-channel blocks only (kernel contract)
+            if (k1.shape[:2] == (3, 3) and k2.shape[:2] == (3, 3)
+                    and k1.shape[2] == k2.shape[3]
+                    and k1.shape[2] >= min_channels):
+                specs[ptq_mod._path_str(prefix)] = {
+                    "c1": ptree["conv1"], "c2": ptree["conv2"],
+                    "s1": (btree or {}).get("conv1", {}).get("bn"),
+                    "s2": (btree or {}).get("conv2", {}).get("bn"),
+                }
+            return
+        for k, v in ptree.items():
+            walk(v, (btree or {}).get(k, {}) if isinstance(btree, dict)
+                 else {}, prefix + (k,))
+
+    walk(params, batch_stats, ())
+
+    @jax.jit
+    def fold_all(specs):
+        out = {}
+        for path_s, s in specs.items():
+            w1, b1 = fold_conv_bn(
+                s["c1"]["conv"]["kernel"], s["c1"]["conv"].get("bias"),
+                s["c1"]["bn"]["scale"], s["c1"]["bn"]["bias"],
+                s["s1"]["mean"], s["s1"]["var"])
+            w2, b2 = fold_conv_bn(
+                s["c2"]["conv"]["kernel"], s["c2"]["conv"].get("bias"),
+                s["c2"]["bn"]["scale"], s["c2"]["bn"]["bias"],
+                s["s2"]["mean"], s["s2"]["var"])
+            out[path_s] = (w1.astype(dtype), b1.astype(jnp.float32),
+                           w2.astype(dtype), b2.astype(jnp.float32))
+        return out
+
+    return fold_all(specs)
+
+
+def make_fused_apply(model, tables, h_tile: int = 16,
+                     interpret: bool = False):
+    """fused_apply(variables, batch, ...) with BasicBlocks on the Pallas
+    kernel. Tables are closed over; variables still feed the unfused rest."""
+
+    def interceptor(next_fn, args, kwargs, context):
+        module = context.module
+        if (
+            context.method_name == "__call__"
+            and isinstance(module, BasicBlock)
+            and isinstance(args[0], jax.Array)
+        ):
+            path_s = ptq_mod._path_str(module.path)
+            t = tables.get(path_s)
+            x = args[0]
+            if t is not None and x.shape[-1] == t[0].shape[2]:
+                w1, b1, w2, b2 = t
+                x4 = x[None] if x.ndim == 3 else x
+                shp = x4.shape
+                if x4.ndim > 4:
+                    x4 = x4.reshape((-1,) + shp[-3:])
+                y = fused_basic_block(
+                    x4.astype(w1.dtype), w1, b1, w2, b2,
+                    h_tile=min(h_tile, x4.shape[1]), interpret=interpret)
+                if x.ndim == 3:
+                    y = y[0]
+                elif len(shp) > 4:
+                    y = y.reshape(shp[:-3] + y.shape[-3:])
+                return y.astype(x.dtype)
+        return next_fn(*args, **kwargs)
+
+    def fused_apply(variables, batch, train: bool = False):
+        with nn.intercept_methods(interceptor):
+            return model.apply(variables, batch, train=False)
+
+    return fused_apply
+
+
+def build_fused_engine(model, variables, h_tile: int = 16,
+                       interpret: bool = False, dtype=jnp.bfloat16,
+                       min_channels: int = 0):
+    """One call: fold BN -> (tables, fused_apply)."""
+    tables = build_fused_tables(variables, dtype=dtype,
+                                min_channels=min_channels)
+    return tables, make_fused_apply(model, tables, h_tile=h_tile,
+                                    interpret=interpret)
