@@ -34,17 +34,31 @@ class Hypes:
     name: str
 
 
-def load_hypes(path: str) -> Hypes:
+def _deep_merge(base: Dict[str, Any], over: Dict[str, Any]) -> Dict[str, Any]:
+    """Child keys override parent's; nested dicts merge key-by-key so a
+    child yaml can override one leaf without restating the whole block."""
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def load_raw(path: str) -> Dict[str, Any]:
+    """Load a yaml, resolving `extends:` chains recursively (child wins)."""
     import os
     with open(path) as f:
         raw = yaml.safe_load(f)
     if "extends" in raw:
         base_path = os.path.join(os.path.dirname(path), raw.pop("extends"))
-        with open(base_path) as f:
-            base = yaml.safe_load(f)
-        base.update(raw)
-        raw = base
-    return build_hypes(raw)
+        raw = _deep_merge(load_raw(base_path), raw)
+    return raw
+
+
+def load_hypes(path: str) -> Hypes:
+    return build_hypes(load_raw(path))
 
 
 def build_hypes(raw: Dict[str, Any]) -> Hypes:

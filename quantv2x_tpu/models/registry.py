@@ -71,7 +71,15 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
 
     if base in ("heter_pyramid_collab", "pyramid_collab"):
         from quantv2x_tpu.models.collab_model import PyramidCollabModel
-        return PyramidCollabModel(mcfg), "collab"
+        comp = None
+        ratio = int(args.get("compression", 0))
+        if ratio:
+            # reference Naive_Compressor yamls carry model.args.compression
+            # as the channel ratio of sub_modules/naive_compress.py:5-33
+            from quantv2x_tpu.models.naive_compress import NaiveCompressor
+            comp = NaiveCompressor(channels=mcfg.backbone_filters[-1],
+                                   compress_ratio=ratio, dtype=dt)
+        return PyramidCollabModel(mcfg, compressor=comp), "collab"
 
     if base.startswith("heter_pyramid_collab_codebook"):
         from quantv2x_tpu.models.collab_model import PyramidCollabModel
