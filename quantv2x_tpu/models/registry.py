@@ -69,6 +69,25 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
         mcfg = dataclasses.replace(mcfg, max_cav=max_cav)
     dt = mcfg.jnp_dtype
 
+    if base in ("heter_pyramid_collab_w_stamp", "pyramid_collab_w_stamp"):
+        # heter_pyramid_collab_mc_w_stamp.py — pyramid collab whose non-ego
+        # agents transmit through the STAMP adapter/reverter bridge
+        from quantv2x_tpu.models.collab_model import PyramidCollabModel
+        from quantv2x_tpu.models.stamp import StampCollabModel
+        ch = mcfg.backbone_filters[-1]
+        return StampCollabModel(
+            ego_model=PyramidCollabModel(mcfg, name="ego_model"),
+            protocol_model=PyramidCollabModel(mcfg, name="protocol_model"),
+            protocol_channels=ch, local_channels=ch,
+            stage=str(args.get("stamp_stage", "infer")), dtype=dt,
+        ), "collab"
+
+    if base == "second_intermediate":
+        # second_intermediate.py:15-62 — SECOND trunk per agent +
+        # AttBEVBackbone per-level attention fusion across agents
+        from quantv2x_tpu.models.second_encoder import SecondIntermediate
+        return SecondIntermediate(mcfg), "collab"
+
     if base in ("heter_pyramid_collab", "pyramid_collab"):
         from quantv2x_tpu.models.collab_model import PyramidCollabModel
         comp = None

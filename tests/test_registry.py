@@ -39,6 +39,8 @@ class TestRegistry:
         ("lift_splat_shoot", "camera", "LSSEncoder"),
         ("point_pillar_disconet", "collab", "BaselineFusionModel"),
         ("point_pillar_uncertainty", "voxels", "PyramidSingleModel"),
+        ("second_intermediate", "collab", "SecondIntermediate"),
+        ("heter_pyramid_collab_mc_w_stamp", "collab", "StampCollabModel"),
     ])
     def test_resolution(self, name, contract, cls_name):
         model, got = create_model(_hypes_with(name))

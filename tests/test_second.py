@@ -50,3 +50,38 @@ def test_second_encoder_shapes():
     assert out.shape == (48, 48, 64)
     assert np.isfinite(np.asarray(out)).all()
     assert float(jnp.abs(out).sum()) > 0
+
+
+def test_second_intermediate_forward():
+    """Per-agent SECOND trunk + per-level att fusion produces head maps."""
+    from quantv2x_tpu.data.pipeline import frame_to_batch
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.models.collab_model import ModelCfg
+    from quantv2x_tpu.models.second_encoder import SecondIntermediate
+
+    vcfg = VoxelCfg(lidar_range=RANGE, voxel_size=(0.4, 0.4, 0.5),
+                    max_points_per_voxel=5, max_voxels=1024)
+    mcfg = ModelCfg(voxel=vcfg, max_cav=2)
+    frame = make_frame(SyntheticCfg(lidar_range=RANGE, num_agents=2,
+                                    num_objects=4, points_per_agent=2000,
+                                    seed=3))
+    batch = frame_to_batch(frame, vcfg, max_cav=2)
+    model = SecondIntermediate(mcfg, layer_nums=(1, 1),
+                               num_filters=(32, 64),
+                               num_upsample_filters=(32, 32))
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
+    )(batch)
+    out = model.apply(variables, batch, train=False)
+    S = mcfg.anchor_num * mcfg.num_class
+    h, w = 48, 48
+    assert out["cls_preds"].shape == (1, h, w, S * mcfg.num_class)
+    assert out["reg_preds"].shape == (1, h, w, S * 7)
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+    # masking agent 1 must change predictions (fusion really reads it)
+    b2 = dict(batch)
+    b2["agent_mask"] = jnp.array([[True, False]])
+    out2 = model.apply(variables, b2, train=False)
+    assert not np.allclose(np.asarray(out["cls_preds"]),
+                           np.asarray(out2["cls_preds"]))
