@@ -52,6 +52,11 @@ def frame_to_batch(frame, voxel_cfg: VoxelCfg, max_cav: int = 4):
         "gt_classes": jnp.asarray(frame["gt_classes"])[None],
         "gt_mask": jnp.asarray(frame["gt_mask"])[None],
     }
+    # camera rig (heterogeneous frames): (A, N_cam, ...) -> (1, L, N_cam, ...)
+    for k in ("camera_imgs", "camera_intrinsics", "camera_rots",
+              "camera_trans"):
+        if k in frame:
+            batch[k] = pad_agents(jnp.asarray(frame[k]))[None]
     return batch
 
 

@@ -28,6 +28,11 @@ class SyntheticCfg:
     max_objects: int = 150
     ground_z: float = -1.9
     seed: int = 0
+    # camera rig (0 = lidar-only frame). Cameras sit on each agent facing
+    # evenly-spaced yaws; images are depth/height point splats so the
+    # camera branch sees geometry-correlated pixels.
+    num_cameras: int = 0
+    image_size: tuple = (64, 96)            # (H, W)
 
 
 def _surface_points(box_lwh, n, rng):
@@ -129,7 +134,7 @@ def make_frame(cfg: SyntheticCfg):
         gt_classes[i] = c
         gt_mask[i] = True
 
-    return {
+    frame = {
         "agent_points": agent_points,
         "agent_points_mask": agent_mask_pts,
         "agent_poses": poses,
@@ -137,4 +142,63 @@ def make_frame(cfg: SyntheticCfg):
         "gt_boxes": gt_boxes,
         "gt_classes": gt_classes,
         "gt_mask": gt_mask,
+    }
+    if cfg.num_cameras > 0:
+        frame.update(_render_cameras(cfg, agent_points, agent_mask_pts))
+    return frame
+
+
+def _render_cameras(cfg: SyntheticCfg, agent_points, agent_points_mask):
+    """Pinhole point-splat renders per agent (camera contract of the
+    reference's image_inputs: imgs/intrins/rots/trans — parity
+    basedataset camera loading + heter_encoders.LiftSplatShoot geometry).
+
+    Camera frame convention matches lss_encoder.frustum_to_ego: +z is the
+    optical axis, +x image-right, +y image-down; cam2ego_rot maps camera
+    coords into the agent (ego) frame.
+    """
+    A = cfg.num_agents
+    N = cfg.num_cameras
+    iH, iW = cfg.image_size
+    fx = fy = 0.6 * iW
+    cx, cy = iW / 2.0, iH / 2.0
+    intrinsics = np.tile(
+        np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], np.float32),
+        (A, N, 1, 1),
+    )
+    imgs = np.zeros((A, N, iH, iW, 3), np.float32)
+    rots = np.zeros((A, N, 3, 3), np.float32)
+    trans = np.zeros((A, N, 3), np.float32)
+    cam_height = 1.7 + cfg.ground_z          # camera z in agent frame
+    for a in range(A):
+        pts = agent_points[a][agent_points_mask[a]]
+        for n in range(N):
+            yaw = 2.0 * np.pi * n / N
+            cyw, syw = np.cos(yaw), np.sin(yaw)
+            # columns = camera axes in agent coords: x_cam -> left-handed
+            # image-right, y_cam -> down (-z agent), z_cam -> forward
+            forward = np.array([cyw, syw, 0.0])
+            right = np.array([syw, -cyw, 0.0])
+            down = np.array([0.0, 0.0, -1.0])
+            R = np.stack([right, down, forward], axis=1).astype(np.float32)
+            t = np.array([0.0, 0.0, cam_height], np.float32)
+            rots[a, n] = R
+            trans[a, n] = t
+            p_cam = (pts[:, :3] - t) @ R                 # R^T (p - t)
+            z = p_cam[:, 2]
+            vis = z > 1.0
+            u = (fx * p_cam[vis, 0] / z[vis] + cx).astype(np.int64)
+            v = (fy * p_cam[vis, 1] / z[vis] + cy).astype(np.int64)
+            ok = (u >= 0) & (u < iW) & (v >= 0) & (v < iH)
+            u, v, d = u[ok], v[ok], z[vis][ok]
+            np.add.at(imgs[a, n, :, :, 0], (v, u), 1.0 / d)
+            np.add.at(imgs[a, n, :, :, 1], (v, u),
+                      pts[vis][ok][:, 2] * 0.25 + 0.5)
+            np.add.at(imgs[a, n, :, :, 2], (v, u), pts[vis][ok][:, 3])
+    np.clip(imgs, 0.0, 4.0, out=imgs)
+    return {
+        "camera_imgs": imgs,
+        "camera_intrinsics": intrinsics,
+        "camera_rots": rots,
+        "camera_trans": trans,
     }

@@ -39,9 +39,12 @@ from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
 class ModalityCfg:
     """One sensing modality branch (a YAML heter.modality_setting entry)."""
     name: str                      # "m1", "m2", ...
-    core_method: str               # "point_pillar" | "second"
+    core_method: str               # "point_pillar" | "second" | "lift_splat_shoot"
     aligner: str = "identity"      # "identity" | "conv" | "convnext"
     aligner_depth: int = 2         # convnext blocks (AlignNet 'convnext')
+    # camera (lift_splat_shoot) branch knobs
+    image_size: tuple = (64, 96)           # (H, W) input images
+    depth_bins: tuple = (1.0, 40.0, 1.0)   # (min, max, step) metres
 
 
 class ConvAligner(nn.Module):
@@ -104,6 +107,23 @@ class HeterCollabModel(nn.Module):
                 encs[m.name] = SECONDEncoder(scfg, dtype=dt,
                                              name=f"second_{m.name}")
                 backbones[m.name] = None
+            elif m.core_method in ("lift_splat_shoot", "camera", "lss"):
+                # TPU redesign of the reference camera branch
+                # (heter_pyramid_collab_mc.py:190-204): instead of encoding
+                # on the camera's own grid and center-cropping to the lidar
+                # range, the LSS BEV grid IS the shared stride-2 lidar grid
+                # (static shapes, no crop/resample stage).
+                from quantv2x_tpu.models.lss_encoder import LSSCfg, LSSEncoder
+                lcfg = LSSCfg(
+                    lidar_range=c.voxel.lidar_range,
+                    bev_resolution=c.voxel.voxel_size[0] * 2,
+                    image_size=tuple(m.image_size),
+                    depth_bins=tuple(m.depth_bins),
+                    out_channels=c.backbone_filters[-1],
+                )
+                encs[m.name] = LSSEncoder(lcfg, dtype=dt,
+                                          name=f"lss_{m.name}")
+                backbones[m.name] = None
             else:
                 raise ValueError(f"unknown modality encoder {m.core_method}")
             if m.aligner == "conv":
@@ -147,6 +167,16 @@ class HeterCollabModel(nn.Module):
             )(pillar, batch["voxel_coords"].reshape(B * L, V, 3),
               batch["voxel_mask"].reshape(B * L, V))
             feat = self.backbones[mod.name](bev, train)
+        elif mod.core_method in ("lift_splat_shoot", "camera", "lss"):
+            imgs = batch["camera_imgs"]          # (B, L, N_cam, H, W, 3)
+            feats = [
+                self.encoders[mod.name](
+                    imgs[b, l], batch["camera_intrinsics"][b, l],
+                    batch["camera_rots"][b, l],
+                    batch["camera_trans"][b, l], train)
+                for b in range(B) for l in range(L)
+            ]
+            feat = jnp.stack(feats)              # (B*L, h, w, C)
         else:  # second — per-agent 3D path
             def one(vfeat, vcoord, vnum, vmask):
                 return self.encoders[mod.name](

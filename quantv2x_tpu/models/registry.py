@@ -47,13 +47,27 @@ def _modalities_from(raw: dict):
     for name, m in setting.items():
         core = (m.get("core_method") or
                 m.get("sensor_type", "point_pillar"))
-        core = "point_pillar" if "pillar" in core else core
+        if "second" in core:
+            core = "second"
+        elif ("lss" in core or "lift" in core or "camera" in core
+              or m.get("sensor_type") == "camera"):
+            core = "lift_splat_shoot"
+        else:
+            core = "point_pillar"
+        kwargs = {}
+        cam = m.get("img_params", {})
+        if core == "lift_splat_shoot" and cam:
+            if "final_dim" in cam:
+                kwargs["image_size"] = tuple(cam["final_dim"])
+            if "d_bound" in cam:
+                kwargs["depth_bins"] = tuple(cam["d_bound"])
         mods.append(ModalityCfg(
             name=name,
-            core_method="second" if "second" in core else "point_pillar",
+            core_method=core,
             aligner=m.get("aligner", {}).get("core_method", "identity")
             if isinstance(m.get("aligner"), dict)
             else m.get("aligner", "identity"),
+            **kwargs,
         ))
     return tuple(mods) or (ModalityCfg("m1", "point_pillar"),)
 

@@ -86,3 +86,39 @@ def test_convnext_aligner_variant(batch):
     assert dw.shape[:2] == (7, 7)
     out = model.apply(variables, batch, train=False)
     assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+
+def test_camera_modality_routed():
+    """Lidar + LSS camera agents fuse through the shared pyramid."""
+    frame = make_frame(SyntheticCfg(lidar_range=RANGE, num_agents=2,
+                                    num_objects=4, points_per_agent=3000,
+                                    num_cameras=2, image_size=(32, 48),
+                                    seed=7))
+    assert frame["camera_imgs"].shape == (2, 2, 32, 48, 3)
+    assert frame["camera_imgs"].max() > 0          # points really splat
+    b = dict(frame_to_batch(frame, VOXEL, max_cav=2))
+    b["agent_modality"] = jnp.array([[0, 1]])      # agent1 is the camera
+    assert b["camera_imgs"].shape == (1, 2, 2, 32, 48, 3)
+
+    model = HeterCollabModel(
+        MODEL,
+        modalities=(
+            ModalityCfg("m1", "point_pillar"),
+            ModalityCfg("m4", "lift_splat_shoot", image_size=(32, 48),
+                        depth_bins=(1.0, 20.0, 1.0)),
+        ),
+    )
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
+    )(b)
+    assert "lss_m4" in variables["params"]
+    out = model.apply(variables, b, train=False)
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+    # zeroing the camera branch weights must change predictions (the
+    # camera agent really contributes through fusion)
+    p2 = jax.tree.map(lambda x: x, variables["params"])
+    p2["lss_m4"] = jax.tree.map(lambda x: x * 0.0, p2["lss_m4"])
+    out2 = model.apply({**variables, "params": p2}, b, train=False)
+    assert not np.allclose(np.asarray(out["cls_preds"]),
+                           np.asarray(out2["cls_preds"]))
