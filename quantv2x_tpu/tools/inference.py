@@ -67,6 +67,13 @@ def main():
     ap.add_argument("--quant", choices=["none", "w8a8", "adaround"],
                     default="none")
     ap.add_argument("--calib", type=int, default=4)
+    ap.add_argument("--percentile", type=float, default=None,
+                    help="activation calibration percentile (PTQConfig"
+                         ".act_percentile); checkpoint-dependent — "
+                         "overtrained models need 0.9999+")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="AdaRound reconstruction iterations per unit "
+                         "(reference default 5000)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -103,14 +110,20 @@ def main():
     if args.quant == "none":
         summary, lat = run_eval(model, variables, test, hypes)
     else:
-        from quantv2x_tpu.quant.ptq import ptq_calibrate
-        from quantv2x_tpu.quant.adaround import adaround_reconstruct
+        from quantv2x_tpu.quant.adaround import ReconCfg, adaround_reconstruct
+        from quantv2x_tpu.quant.ptq import PTQConfig, ptq_calibrate
 
+        qcfg = PTQConfig()
+        if args.percentile is not None:
+            qcfg = dataclasses.replace(qcfg, act_percentile=args.percentile)
         if args.quant == "w8a8":
-            qvars, act_scales, qapply = ptq_calibrate(model, variables, calib)
+            qvars, act_scales, qapply = ptq_calibrate(
+                model, variables, calib, qcfg)
         else:
+            rcfg = ReconCfg() if args.iters is None else ReconCfg(
+                iters=args.iters)
             qvars, act_scales, qapply = adaround_reconstruct(
-                model, variables, calib
+                model, variables, calib, cfg=qcfg, rcfg=rcfg
             )
         summary, lat = run_eval(
             model, qvars, test, hypes,
