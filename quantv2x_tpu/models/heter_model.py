@@ -84,6 +84,10 @@ class HeterCollabModel(nn.Module):
         ModalityCfg("m1", "point_pillar"),
     )
     compressor: Optional[nn.Module] = None
+    # "pyramid" = HeterPyramid* models (multiscale weighted fuse);
+    # any FUSION_REGISTRY key = heter_model_baseline* single-scale fusion
+    # (the reference selects it via model.args.fusion_method)
+    fusion_method: str = "pyramid"
 
     def setup(self):
         c = self.cfg
@@ -139,12 +143,20 @@ class HeterCollabModel(nn.Module):
         self.encoders = encs
         self.backbones = backbones
         self.aligners = aligners
-        self.pyramid = PyramidFusion(
-            layer_nums=c.pyramid_layers, layer_strides=c.pyramid_strides,
-            num_filters=c.pyramid_filters,
-            upsample_strides=c.pyramid_up_strides,
-            num_upsample_filters=c.pyramid_up_filters, dtype=dt,
-        )
+        if self.fusion_method == "pyramid":
+            self.pyramid = PyramidFusion(
+                layer_nums=c.pyramid_layers, layer_strides=c.pyramid_strides,
+                num_filters=c.pyramid_filters,
+                upsample_strides=c.pyramid_up_strides,
+                num_upsample_filters=c.pyramid_up_filters, dtype=dt,
+            )
+        else:
+            from quantv2x_tpu.models.fusion_lib import FUSION_REGISTRY
+            cls = FUSION_REGISTRY[self.fusion_method]
+            try:
+                self.fusion = cls(c.backbone_filters[-1], dtype=dt)
+            except TypeError:
+                self.fusion = cls()
         self.shrink = ShrinkConv(c.shrink_dim, dtype=dt)
         self.heads = DetectionHeads(c.num_class, c.anchor_num,
                                     c.num_dir_bins, dtype=dt)
@@ -218,9 +230,14 @@ class HeterCollabModel(nn.Module):
         affine = normalize_pairwise_tfm(
             batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0]
         )
-        fused, occ_maps = self.pyramid.forward_collab(
-            agent_feats, batch["agent_mask"], affine, train
-        )
+        if self.fusion_method == "pyramid":
+            fused, occ_maps = self.pyramid.forward_collab(
+                agent_feats, batch["agent_mask"], affine, train
+            )
+        else:
+            fused = self.fusion(agent_feats, batch["agent_mask"], affine,
+                                train)
+            occ_maps = []
         fused = self.shrink(fused)
         cls, reg, dirp = self.heads(fused)
         return {"cls_preds": cls, "reg_preds": reg, "dir_preds": dirp,

@@ -134,8 +134,11 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
         # heter_baseline_collab_codebook(_mc) carries the codebook compressor
         from quantv2x_tpu.models.heter_model import HeterCollabModel
         comp = _codebook_from(args, dt) if "codebook" in base else None
+        fusion = args.get("fusion_method",
+                          args.get("fusion_args", {}).get("core_method",
+                                                          "pyramid"))
         return (HeterCollabModel(mcfg, modalities=_modalities_from(raw),
-                                 compressor=comp),
+                                 compressor=comp, fusion_method=fusion),
                 "collab")
 
     if base.startswith("point_pillar_baseline") or base.startswith(

@@ -122,3 +122,21 @@ def test_camera_modality_routed():
     out2 = model.apply({**variables, "params": p2}, b, train=False)
     assert not np.allclose(np.asarray(out["cls_preds"]),
                            np.asarray(out2["cls_preds"]))
+
+
+def test_heter_single_scale_fusion_method(batch):
+    """heter_model_baseline parity: fusion_method selects a single-scale
+    fusion from the registry instead of the pyramid."""
+    model = HeterCollabModel(
+        MODEL,
+        modalities=(ModalityCfg("m1", "point_pillar"),
+                    ModalityCfg("m2", "point_pillar")),
+        fusion_method="att",
+    )
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
+    )(batch)
+    assert not any("pyramid" in k for k in variables["params"])
+    out = model.apply(variables, batch, train=False)
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
+    assert out["occ_maps"] == []
