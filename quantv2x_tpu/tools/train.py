@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--augment", action="store_true",
                     help="apply flip/rotation/scale augmentation when generating frames")
     ap.add_argument("--mesh", default="", help="e.g. '4,2' = data4 x agent2")
+    ap.add_argument("--init_from", default="",
+                    help="run dir to warm-start params/batch_stats from "
+                         "(graft by leaf path; missing leaves keep init — "
+                         "HEAL stage-2 style)")
+    ap.add_argument("--trainable", default="",
+                    help="regex over param scopes; non-matching params are "
+                         "frozen (e.g. 'lss_m3|aligner_m3')")
     args = ap.parse_args()
 
     from quantv2x_tpu.config.hypes import load_hypes
@@ -93,7 +100,20 @@ def main():
     optim = dataclasses.replace(
         hypes.optim, steps_per_epoch=max(len(batches) // batch_size, 1)
     )
-    state, tx = create_train_state(model, jax.random.PRNGKey(0), sample, optim)
+    trainable = None
+    if args.trainable:
+        import re
+        pat = re.compile(args.trainable)
+        trainable = lambda path: bool(pat.search(path))  # noqa: E731
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), sample,
+                                   optim, trainable_predicate=trainable)
+    if args.init_from:
+        # warm start from another run's checkpoint: graft params/batch_stats
+        # by leaf path (new branches keep their init) — HEAL stage-2
+        donor, don_ep = ckpt.restore_checkpoint(args.init_from, state)
+        state = state.replace(params=donor.params,
+                              batch_stats=donor.batch_stats)
+        print(f"[train] warm-started from {args.init_from} epoch {don_ep}")
     start_epoch = 0
     if args.resume:
         try:

@@ -80,3 +80,34 @@ def test_uncertainty_head_trains(setup):
     assert np.isfinite(float(metrics["unc_loss"]))
     after = state2.params["heads"]["unc_head"]["kernel"]
     assert float(jnp.abs(after - before).sum()) > 0
+
+
+def test_trainable_predicate_freezes_params(setup):
+    """HEAL stage-2 parity: a regex scope mask freezes everything else."""
+    import re
+
+    batch, _, _ = setup
+    model = PyramidCollabModel(MODEL)
+    pat = re.compile("cls_head|reg_head|dir_head")
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), batch, OptimCfg(steps_per_epoch=10),
+        trainable_predicate=lambda p: bool(pat.search(p)),
+    )
+    anchor_pack = anc.generate_anchors(ANCHOR)
+    step = jax.jit(make_train_step(model, tx, anchor_pack, LossCfg()))
+    new_state, _ = step(state, batch)
+
+    def flat(p):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in kp): v
+            for kp, v in jax.tree_util.tree_flatten_with_path(p)[0]
+        }
+    before, after = flat(state.params), flat(new_state.params)
+    frozen_same = [np.allclose(np.asarray(before[k], np.float32),
+                               np.asarray(after[k], np.float32))
+                   for k in before if not pat.search(k)]
+    head_moved = [not np.allclose(np.asarray(before[k], np.float32),
+                                  np.asarray(after[k], np.float32))
+                  for k in before if pat.search(k)]
+    assert all(frozen_same)
+    assert any(head_moved)
