@@ -122,8 +122,30 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
 
     if base in ("heter_pyramid_single", "point_pillar_single",
                 "point_pillar"):
+        # the fusion block picks the dataset mixin in the reference
+        # (build_dataset: early/late/intermediate); for the single-agent
+        # model it decides whether eval merges clouds (early) or
+        # detections (late)
         from quantv2x_tpu.models.single_model import PyramidSingleModel
+        fusion_mode = str(raw.get("fusion", {}).get("core_method", ""))
+        if fusion_mode.startswith("early"):
+            return PyramidSingleModel(mcfg), "early"
+        if fusion_mode.startswith("late"):
+            return PyramidSingleModel(mcfg), "late"
         return PyramidSingleModel(mcfg), "voxels"
+
+    if base in ("heter_model_early", "early_fusion"):
+        # heter_model_early(_mc): agents' clouds merge in the ego frame
+        # BEFORE voxelization; the single-agent detector runs on the merge
+        # (drive with tools/inference.py, contract "early")
+        from quantv2x_tpu.models.single_model import PyramidSingleModel
+        return PyramidSingleModel(mcfg), "early"
+
+    if base in ("heter_model_late", "late_fusion"):
+        # heter_model_late(_mc): per-agent detection, detections projected
+        # to ego and merged by one rotated NMS (contract "late")
+        from quantv2x_tpu.models.single_model import PyramidSingleModel
+        return PyramidSingleModel(mcfg), "late"
 
     if base.startswith("heter_collab") or base.startswith("heter_model") \
             or base.startswith("heter_baseline_collab") \

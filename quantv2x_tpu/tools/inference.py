@@ -56,6 +56,71 @@ def run_eval(model, variables, batches, hypes, apply_fn=None, act_scales=None):
     return summarize(stat), float(np.mean(lat)) if lat else 0.0
 
 
+def run_eval_single(model, variables, frames, hypes, contract, frame_vox):
+    """Eval loop for the single-agent contracts.
+
+    contract "voxels": ego cloud only; "early": clouds merged to ego before
+    voxelization (early-fusion dataset parity); "late": per-agent detection
+    + projected-NMS merge (late-fusion post_process parity).
+    """
+    import jax.numpy as jnp
+
+    from quantv2x_tpu.data import anchors as anc
+    from quantv2x_tpu.data.postprocess import decode_detections
+    from quantv2x_tpu.models.single_model import (
+        late_fuse_detections, merge_points_to_ego,
+    )
+    from quantv2x_tpu.utils import box_utils as bu
+    from quantv2x_tpu.utils.eval_ap import (
+        accumulate_frame, new_result_stat, summarize,
+    )
+    from quantv2x_tpu.utils.transformation import np_pose_to_world
+
+    anchors = anc.generate_anchors(hypes.anchors)[0]
+    ppcfg = hypes.postprocess
+
+    @jax.jit
+    def infer(variables, vox):
+        out = model.apply(variables, vox, train=False)
+        return decode_detections(
+            out["cls_preds"][0], out["reg_preds"][0], anchors, ppcfg,
+            dir_preds=out["dir_preds"][0],
+        )
+
+    stat = new_result_stat(hypes.model.num_class)
+    lat = []
+    for i, frame in enumerate(frames):
+        t0 = time.time()
+        if contract == "early":
+            det = infer(variables, frame_vox(merge_points_to_ego(frame)))
+        elif contract == "late":
+            A = int(np.asarray(frame["agent_mask"]).sum())
+            dets = [infer(variables, frame_vox(frame, agent=a))
+                    for a in range(A)]
+            T_we = np_pose_to_world(frame["agent_poses"][0])
+            T_ew = np.linalg.inv(T_we)
+            transforms = [
+                jnp.asarray(T_ew @ np_pose_to_world(frame["agent_poses"][a]),
+                            jnp.float32)
+                for a in range(A)
+            ]
+            det = late_fuse_detections(dets, transforms,
+                                       nms_threshold=ppcfg.nms_threshold)
+        else:
+            det = infer(variables, frame_vox(frame))
+        det = jax.block_until_ready(det)
+        if i > 0:
+            lat.append(time.time() - t0)
+        gt_corners = bu.boxes_to_corners_3d(jnp.asarray(frame["gt_boxes"]),
+                                            "hwl")
+        accumulate_frame(
+            stat, det["corners"], det["scores"], det["labels"], det["valid"],
+            gt_corners, jnp.asarray(frame["gt_classes"]),
+            jnp.asarray(frame["gt_mask"]),
+        )
+    return summarize(stat), float(np.mean(lat)) if lat else 0.0
+
+
 def main():
     from quantv2x_tpu.utils.runtime import enable_compile_cache
     enable_compile_cache()
@@ -80,13 +145,19 @@ def main():
     from quantv2x_tpu.config.hypes import load_hypes
     from quantv2x_tpu.data.pipeline import frame_to_batch
     from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
-    from quantv2x_tpu.models.collab_model import PyramidCollabModel
+    from quantv2x_tpu.data.voxelizer import voxelize
+    from quantv2x_tpu.models.registry import create_model
     from quantv2x_tpu.train import checkpoint as ckpt
     from quantv2x_tpu.train.trainer import OptimCfg, create_train_state
 
+    import jax.numpy as jnp
+
     hypes = load_hypes(args.hypes)
-    model_cfg = dataclasses.replace(hypes.model, max_cav=args.max_cav)
-    model = PyramidCollabModel(model_cfg)
+    model, contract = create_model(hypes, max_cav=args.max_cav)
+    if contract not in ("collab", "voxels", "early", "late"):
+        raise SystemExit(
+            f"inference.py drives collab/single contracts; "
+            f"{hypes.raw['model']['core_method']!r} is {contract!r}")
 
     frames = [
         make_frame(SyntheticCfg(
@@ -95,17 +166,41 @@ def main():
         ))
         for s in range(args.synthetic + args.calib)
     ]
-    batches = [frame_to_batch(f, hypes.voxel, max_cav=args.max_cav)
-               for f in frames]
-    calib, test = batches[: args.calib], batches[args.calib:]
+    if contract == "collab":
+        batches = [frame_to_batch(f, hypes.voxel, max_cav=args.max_cav)
+                   for f in frames]
+        sample = batches[0]
+    else:
+        # single-agent voxel contract (plain / early-merged / late per-agent)
+        def frame_vox(f, agent=0):
+            return voxelize(jnp.asarray(f["agent_points"][agent]),
+                            jnp.asarray(f["agent_points_mask"][agent]),
+                            hypes.voxel)
+        sample = frame_vox(frames[0])
+    calib_frames, test_frames = frames[: args.calib], frames[args.calib:]
+    if contract == "collab":
+        calib, test = batches[: args.calib], batches[args.calib:]
 
     state, _ = create_train_state(
-        model, jax.random.PRNGKey(0), test[0], OptimCfg()
+        model, jax.random.PRNGKey(0), sample, OptimCfg()
     )
     if args.run_dir:
         state, epoch = ckpt.restore_checkpoint(args.run_dir, state)
         print(f"[inference] loaded epoch {epoch}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if contract in ("voxels", "early", "late"):
+        summary, lat = run_eval_single(model, variables, test_frames, hypes,
+                                       contract, frame_vox)
+        out = {"ap": summary, "mean_latency_s": round(lat, 4),
+               "fps": round(1.0 / lat, 2) if lat else None,
+               "quant": "none", "mode": contract,
+               "frames": len(test_frames)}
+        print(json.dumps(out, indent=2, default=float))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f, default=float)
+        return
 
     if args.quant == "none":
         summary, lat = run_eval(model, variables, test, hypes)

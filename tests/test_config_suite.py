@@ -24,7 +24,7 @@ ALL_YAMLS = sorted(glob.glob(os.path.join(ROOT, "**", "*.yaml"),
 def test_config_loads_and_resolves(path):
     hypes = load_hypes(path)
     model, contract = create_model(hypes)
-    assert contract in ("collab", "voxels", "points")
+    assert contract in ("collab", "voxels", "points", "early", "late")
     assert hypes.name
 
 
