@@ -203,12 +203,16 @@ class V2XDataset:
 
     def __init__(self, root: str, dataset_mode: str = "vc", max_cav: int = 4,
                  max_points: int = 60000, max_objects: int = 150,
-                 comm_range: float = 70.0):
+                 comm_range: float = 70.0, wild=None, seed: int = 0):
         self.scenarios = scan_scenarios(root, dataset_mode, max_cav)
         self.max_cav = max_cav
         self.max_points = max_points
         self.max_objects = max_objects
         self.comm_range = comm_range
+        # time-delay simulation (parity: wild_setting async path,
+        # v2xreal_basedataset.py:89-122; see data/noise_sim.WildCfg)
+        self.wild = wild
+        self._rng = np.random.default_rng(seed)
         self.index = [
             (si, ti)
             for si, s in enumerate(self.scenarios)
@@ -225,8 +229,17 @@ class V2XDataset:
         cav_ids = list(scen["cavs"].keys())
 
         params_list, lidars, poses = [], [], []
-        for cav in cav_ids:
-            entry = scen["cavs"][cav][ts]
+        for ci, cav in enumerate(cav_ids):
+            ts_cav = ts
+            if self.wild is not None and ci > 0:
+                from quantv2x_tpu.data.noise_sim import time_delay_frames
+                d = time_delay_frames(self.wild, self._rng, ego=False)
+                if d > 0:
+                    # stale message: this cav's lidar AND pose come from
+                    # an earlier timestamp (reference applies the delayed
+                    # params wholesale, retrieve_base_data:358-369)
+                    ts_cav = scen["timestamps"][max(0, ti - d)]
+            entry = scen["cavs"][cav][ts_cav]
             with open(entry["yaml"]) as f:
                 params = yaml.safe_load(f)
             params_list.append(params)
@@ -291,3 +304,35 @@ class V2XSETDataset(V2XDataset):
             for si, s in enumerate(self.scenarios)
             for ti in range(len(s["timestamps"]))
         ]
+
+
+def build_frame_source(hypes_raw: dict, split: str = "train",
+                       max_cav: int = 4, dataset_mode: str = "vc"):
+    """Config -> index-able frame source (parity: build_dataset,
+    data_utils/datasets/__init__.py:32-51 — the factory that the tools
+    call; fusion-level behavior lives in the model contract here).
+
+    Dispatch by the root path's shape: a directory is an OPV2V-format
+    scenario tree (V2X-Real / OPV2V / V2XSet), a ``.json`` is a DAIR-V2X-C
+    split file, a ``.pkl`` a V2X-Sim info index.
+    """
+    key = "root_dir" if split == "train" else "validate_dir"
+    root = hypes_raw.get(key) or hypes_raw.get("root_dir")
+    if not root:
+        raise FileNotFoundError("config has no root_dir/validate_dir")
+    comm = float(hypes_raw.get("comm_range", 70.0))
+    if root.endswith(".json"):
+        from quantv2x_tpu.data.dairv2x import DAIRV2XDataset
+        base = os.path.dirname(os.path.dirname(root))
+        return DAIRV2XDataset(base, root)
+    if root.endswith(".pkl"):
+        from quantv2x_tpu.data.v2xsim import V2XSIMDataset
+        return V2XSIMDataset(root, max_cav=max_cav)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"dataset root {root!r} not found")
+    wild = None
+    if hypes_raw.get("wild_setting", {}).get("async"):
+        from quantv2x_tpu.data.noise_sim import WildCfg
+        wild = WildCfg.from_hypes(hypes_raw["wild_setting"])
+    return V2XDataset(root, dataset_mode=dataset_mode, max_cav=max_cav,
+                      comm_range=comm, wild=wild)

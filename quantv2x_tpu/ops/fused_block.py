@@ -149,6 +149,149 @@ def fused_basic_block(x, w1, b1, w2, b2, h_tile: int = 16,
     return out[:, :H, :W, :C]
 
 
+def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                       out_ref, xs, sem, *, h_tile: int, w_t: int,
+                       w_out: int, h_orig: int, width: int, cout: int,
+                       interpret: bool):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def roll_cols(v, dx):
+        if dx == 0:
+            return v
+        if interpret:
+            return jnp.roll(v, -dx, axis=1)
+        if v.dtype.itemsize == 4:
+            return pltpu.roll(v, w_t - dx, axis=1)
+        return pltpu.roll(v.astype(jnp.float32), w_t - dx,
+                          axis=1).astype(v.dtype)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(i * h_tile, h_tile + 2)], xs, sem)
+    dma.start()
+    dma.wait()
+
+    H1 = h_tile + 2          # rows needed by the 3x3 (halo 1 each side)
+
+    # conv1 (1x1) on every haloed row: h1[r, p] = result at global
+    # (i*h_tile + r - 1, col p - 1)
+    acc1 = jax.lax.dot_general(
+        xs[:], w1_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h1 = jnp.maximum(acc1 + b1_ref[:].astype(jnp.float32), 0.0)
+    # SAME-padding parity: a 1x1 conv of a zero input is relu(b1) != 0, but
+    # the true intermediate exists only INSIDE the image — zero the border
+    # so conv2 sees SAME-padding zeros (also kills rotation wraparound)
+    row = (i * h_tile - 1
+           + jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 0))
+    col = jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 1) - 1
+    inside = ((row >= 0) & (row < h_orig) & (col >= 0) &
+              (col < w_out)).astype(jnp.float32)
+    h1 = (h1 * inside).astype(xs.dtype)
+
+    # conv2 (3x3, block-diagonal dense weights) on the VMEM intermediate:
+    # out[r, u] at global (i*h_tile + r, u) needs h1[r + dy, u + dx]
+    acc2 = jnp.zeros((h_tile, w_t, width), jnp.float32)
+    for dy in range(3):
+        rows = h1[dy:dy + h_tile]
+        for dx in range(3):
+            acc2 = acc2 + jax.lax.dot_general(
+                roll_cols(rows, dx), w2_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    h2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32),
+                     0.0).astype(xs.dtype)
+
+    # conv3 (1x1) + residual + relu; residual x at global
+    # (i*h_tile + r, u) = xs[r + 1, u + 1]
+    acc3 = jax.lax.dot_general(
+        h2, w3_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    residual = roll_cols(xs[1:1 + h_tile], 1).astype(jnp.float32)
+    y = jnp.maximum(acc3 + b3_ref[:].astype(jnp.float32) + residual, 0.0)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h_tile", "interpret"))
+def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, h_tile: int = 16,
+                     interpret: bool = False):
+    """Fused ResNeXt bottleneck (expansion=1, stride 1, Cin == Cout):
+
+        y = relu(conv1x1(relu(conv3x3(relu(conv1x1(x,w1)+b1), w2)+b2), w3)
+                 + b3 + x)
+
+    One HBM read of x and one write of y replace XLA's four activation
+    round trips (the BW-bound device's dominant cost; BASELINE.md device
+    calibration). The reference's grouped 3x3 (groups=32) must be
+    pre-materialized to block-diagonal dense ``w2`` (see
+    quant/fused_engine.grouped_to_blockdiag) — bit-equal outputs, full MXU
+    tiles.
+
+    x: (N, H, W, C); w1: (C, Wd); w2: (3, 3, Wd, Wd); w3: (Wd, C).
+    """
+    N, H, W, C = x.shape
+    assert w1.shape[0] == C and w3.shape[1] == C, "residual needs Cin==Cout"
+    width = w1.shape[1]
+    Hp = -(-H // h_tile) * h_tile
+    Wt = -(-(W + 2) // 8) * 8
+    Cp = -(-C // 128) * 128 if not interpret else C
+    Wd = -(-width // 128) * 128 if not interpret else width
+    xp = jnp.pad(x, ((0, 0), (1, 1 + Hp - H), (1, Wt - W - 1), (0, Cp - C)))
+    w1p = jnp.pad(w1, ((0, Cp - C), (0, Wd - width)))
+    b1p = jnp.pad(b1, (0, Wd - width))
+    w2p = jnp.pad(w2, ((0, 0), (0, 0), (0, Wd - width), (0, Wd - width)))
+    b2p = jnp.pad(b2, (0, Wd - width))
+    w3p = jnp.pad(w3, ((0, Wd - width), (0, Cp - C)))
+    b3p = jnp.pad(b3, (0, Cp - C))
+
+    grid = (N, Hp // h_tile)
+    out = pl.pallas_call(
+        functools.partial(_bottleneck_kernel, h_tile=h_tile, w_t=Wt,
+                          w_out=W, h_orig=H, width=Wd, cout=Cp,
+                          interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((N, Hp, Wt, Cp), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b2
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w3
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b3
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h_tile, Wt, Cp),
+            lambda n, i: (n, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h_tile + 2, Wt, Cp), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, w1p, b1p, w2p, b2p, w3p, b3p)
+    return out[:, :H, :W, :C]
+
+
+def bottleneck_reference(x, w1, b1, w2, b2, w3, b3):
+    """XLA reference of the fused bottleneck (for tests/benchmarks)."""
+    h = jax.nn.relu(
+        jnp.einsum("nhwc,cd->nhwd", x, w1) + b1)
+    dn = jax.lax.conv_dimension_numbers(h.shape, w2.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    h = jax.lax.conv_general_dilated(h, w2, (1, 1), "SAME",
+                                     dimension_numbers=dn)
+    h = jax.nn.relu(h + b2)
+    y = jnp.einsum("nhwd,dc->nhwc", h, w3) + b3
+    return jax.nn.relu(y + x)
+
+
 def basic_block_reference(x, w1, b1, w2, b2):
     """XLA reference of the same computation (for tests/benchmarks)."""
     dn = jax.lax.conv_dimension_numbers(x.shape, w1.shape,

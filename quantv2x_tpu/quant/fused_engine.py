@@ -29,10 +29,24 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from quantv2x_tpu.models.layers import BasicBlock
-from quantv2x_tpu.ops.fused_block import fused_basic_block
+from quantv2x_tpu.models.layers import BasicBlock, Bottleneck
+from quantv2x_tpu.ops.fused_block import fused_basic_block, fused_bottleneck
 from quantv2x_tpu.quant import ptq as ptq_mod
 from quantv2x_tpu.quant.int8_engine import fold_conv_bn
+
+
+def grouped_to_blockdiag(kernel, groups: int):
+    """(kh, kw, cpg, out) grouped-conv kernel -> (kh, kw, cpg*groups, out)
+    block-diagonal dense kernel (bit-equal conv, full MXU tiles; same
+    construction as models/layers.ConvBNReLU's grouped path)."""
+    kh, kw, cpg, out = kernel.shape
+    cin = cpg * groups
+    opg = out // groups
+    o_idx = jnp.arange(out)
+    row_idx = (o_idx // opg)[None, :] * cpg + jnp.arange(cpg)[:, None]
+    return jnp.zeros((kh, kw, cin, out), kernel.dtype).at[
+        :, :, row_idx,
+        jnp.broadcast_to(o_idx[None, :], row_idx.shape)].set(kernel)
 
 
 def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
@@ -61,7 +75,7 @@ def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
             and "bn" in ptree.get("conv1", {})
             and "downsample" not in ptree
         )
-        if is_block:
+        if is_block and "conv3" not in ptree:
             k1 = ptree["conv1"]["conv"]["kernel"]
             k2 = ptree["conv2"]["conv"]["kernel"]
             # 3x3 square-channel blocks only (kernel contract)
@@ -69,9 +83,30 @@ def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
                     and k1.shape[2] == k2.shape[3]
                     and k1.shape[2] >= min_channels):
                 specs[ptq_mod._path_str(prefix)] = {
+                    "kind": "basic",
                     "c1": ptree["conv1"], "c2": ptree["conv2"],
                     "s1": (btree or {}).get("conv1", {}).get("bn"),
                     "s2": (btree or {}).get("conv2", {}).get("bn"),
+                }
+            return
+        if is_block and "conv3" in ptree:
+            # ResNeXt bottleneck: 1x1 -> grouped 3x3 -> 1x1 + residual
+            k1 = ptree["conv1"]["conv"]["kernel"]
+            k2 = ptree["conv2"].get("conv_kernel_grouped")
+            if k2 is None:
+                k2 = ptree["conv2"].get("conv", {}).get("kernel")
+            k3 = ptree["conv3"]["conv"]["kernel"]
+            if (k1.shape[:2] == (1, 1) and k2 is not None
+                    and k2.shape[:2] == (3, 3) and k3.shape[:2] == (1, 1)
+                    and k1.shape[2] == k3.shape[3]
+                    and k1.shape[2] >= min_channels):
+                specs[ptq_mod._path_str(prefix)] = {
+                    "kind": "bottleneck",
+                    "c1": ptree["conv1"], "c2": ptree["conv2"],
+                    "c3": ptree["conv3"], "k2_grouped": k2,
+                    "s1": (btree or {}).get("conv1", {}).get("bn"),
+                    "s2": (btree or {}).get("conv2", {}).get("bn"),
+                    "s3": (btree or {}).get("conv3", {}).get("bn"),
                 }
             return
         for k, v in ptree.items():
@@ -80,23 +115,49 @@ def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
 
     walk(params, batch_stats, ())
 
-    @jax.jit
+    kinds = {p: s.pop("kind") for p, s in specs.items()}
+
     def fold_all(specs):
         out = {}
         for path_s, s in specs.items():
+            s = dict(s, kind=kinds[path_s])
             w1, b1 = fold_conv_bn(
                 s["c1"]["conv"]["kernel"], s["c1"]["conv"].get("bias"),
                 s["c1"]["bn"]["scale"], s["c1"]["bn"]["bias"],
                 s["s1"]["mean"], s["s1"]["var"])
-            w2, b2 = fold_conv_bn(
-                s["c2"]["conv"]["kernel"], s["c2"]["conv"].get("bias"),
-                s["c2"]["bn"]["scale"], s["c2"]["bn"]["bias"],
-                s["s2"]["mean"], s["s2"]["var"])
-            out[path_s] = (w1.astype(dtype), b1.astype(jnp.float32),
-                           w2.astype(dtype), b2.astype(jnp.float32))
+            if s["kind"] == "basic":
+                w2, b2 = fold_conv_bn(
+                    s["c2"]["conv"]["kernel"], s["c2"]["conv"].get("bias"),
+                    s["c2"]["bn"]["scale"], s["c2"]["bn"]["bias"],
+                    s["s2"]["mean"], s["s2"]["var"])
+                out[path_s] = (w1.astype(dtype), b1.astype(jnp.float32),
+                               w2.astype(dtype), b2.astype(jnp.float32))
+            else:
+                # grouped kernel folds like any conv (out channels last),
+                # then materializes to block-diagonal dense for the MXU
+                k2 = s["k2_grouped"]
+                w2g, b2 = fold_conv_bn(
+                    k2, None,
+                    s["c2"]["bn"]["scale"], s["c2"]["bn"]["bias"],
+                    s["s2"]["mean"], s["s2"]["var"])
+                groups = w2g.shape[3] // w2g.shape[2]
+                if groups > 1:
+                    w2 = grouped_to_blockdiag(w2g, groups)
+                else:
+                    w2 = w2g
+                w3, b3 = fold_conv_bn(
+                    s["c3"]["conv"]["kernel"], s["c3"]["conv"].get("bias"),
+                    s["c3"]["bn"]["scale"], s["c3"]["bn"]["bias"],
+                    s["s3"]["mean"], s["s3"]["var"])
+                out[path_s] = (w1[0, 0].astype(dtype),
+                               b1.astype(jnp.float32),
+                               w2.astype(dtype), b2.astype(jnp.float32),
+                               w3[0, 0].astype(dtype),
+                               b3.astype(jnp.float32))
         return out
 
-    return fold_all(specs)
+    folded = jax.jit(fold_all)(specs)
+    return {p: (kinds[p],) + tuple(t) for p, t in folded.items()}
 
 
 def make_fused_apply(model, tables, h_tile: int = 16,
@@ -108,21 +169,32 @@ def make_fused_apply(model, tables, h_tile: int = 16,
         module = context.module
         if (
             context.method_name == "__call__"
-            and isinstance(module, BasicBlock)
+            and isinstance(module, (BasicBlock, Bottleneck))
             and isinstance(args[0], jax.Array)
         ):
             path_s = ptq_mod._path_str(module.path)
             t = tables.get(path_s)
             x = args[0]
-            if t is not None and x.shape[-1] == t[0].shape[2]:
-                w1, b1, w2, b2 = t
+            cin = (t[1].shape[2] if t is not None and t[0] == "basic"
+                   else t[1].shape[0] if t is not None else None)
+            if t is not None and x.shape[-1] == cin:
+                kind, *ws = t
                 x4 = x[None] if x.ndim == 3 else x
                 shp = x4.shape
                 if x4.ndim > 4:
                     x4 = x4.reshape((-1,) + shp[-3:])
-                y = fused_basic_block(
-                    x4.astype(w1.dtype), w1, b1, w2, b2,
-                    h_tile=min(h_tile, x4.shape[1]), interpret=interpret)
+                if kind == "basic":
+                    w1, b1, w2, b2 = ws
+                    y = fused_basic_block(
+                        x4.astype(w1.dtype), w1, b1, w2, b2,
+                        h_tile=min(h_tile, x4.shape[1]),
+                        interpret=interpret)
+                else:
+                    w1, b1, w2, b2, w3, b3 = ws
+                    y = fused_bottleneck(
+                        x4.astype(w1.dtype), w1, b1, w2, b2, w3, b3,
+                        h_tile=min(h_tile, x4.shape[1]),
+                        interpret=interpret)
                 if x.ndim == 3:
                     y = y[0]
                 elif len(shp) > 4:

@@ -24,7 +24,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-y", "--hypes", required=True)
     ap.add_argument("--run_dir", default=None)
-    ap.add_argument("--sweep", choices=["noise", "agents"], default="noise")
+    ap.add_argument("--sweep", choices=["noise", "agents", "latency"],
+                    default="noise")
+    ap.add_argument("--speed_mps", type=float, default=8.33,
+                    help="latency sweep: simulated collaborator speed")
     ap.add_argument("--synthetic", type=int, default=8)
     ap.add_argument("--max_cav", type=int, default=4)
     ap.add_argument("--json", default=None)
@@ -69,6 +72,37 @@ def main():
             summary, lat = run_eval(model, variables, batches, hypes)
             results[f"std_{std}"] = summary["mAP"]
             print(f"[sweep] noise std={std}: mAP@0.5={summary['mAP'][0.5]:.4f}")
+    elif args.sweep == "latency":
+        # communication time-delay robustness (parity: wild_setting async,
+        # v2xreal_basedataset.py:89-122 + noise_sim.WildCfg). On synthetic
+        # frames the staleness is emulated kinematically: a collaborator
+        # moving at --speed_mps reports a pose delay_ms old, so its
+        # features get warped into the ego frame with that pose error —
+        # the same failure mode the reference's delayed-frame loading
+        # produces on sequence data (real datasets apply WildCfg directly
+        # at load time via data/dataset.build_frame_source).
+        for delay_ms in [0, 100, 200, 300, 500]:
+            d = args.speed_mps * delay_ms / 1000.0
+
+            def stale(f):
+                out = dict(f)
+                poses = np.copy(f["agent_poses"])
+                for a in range(1, poses.shape[0]):
+                    if f["agent_mask"][a]:
+                        yaw = np.radians(float(poses[a, 4]))
+                        poses[a, 0] -= d * np.cos(yaw)
+                        poses[a, 1] -= d * np.sin(yaw)
+                out["agent_poses"] = poses
+                return out
+
+            batches = [
+                frame_to_batch(stale(f), hypes.voxel, max_cav=args.max_cav)
+                for f in frames
+            ]
+            summary, lat = run_eval(model, variables, batches, hypes)
+            results[f"delay_{delay_ms}ms"] = summary["mAP"]
+            print(f"[sweep] delay={delay_ms}ms: "
+                  f"mAP@0.5={summary['mAP'][0.5]:.4f}")
     else:
         for use_cav in range(1, args.max_cav + 1):
             batches = [

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--run_dir", default="runs/default")
     ap.add_argument("--synthetic", type=int, default=32,
                     help="number of synthetic frames (0 = use dataset dirs)")
+    ap.add_argument("--max_frames", type=int, default=512,
+                    help="cap on dataset frames loaded when --synthetic 0")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--max_cav", type=int, default=2)
@@ -70,14 +72,22 @@ def main():
             "contract model — use its dedicated driver/tests")
 
     # ---- data ------------------------------------------------------------
-    print(f"[train] generating {args.synthetic} synthetic frames...")
-    frames = [
-        make_frame(SyntheticCfg(
-            lidar_range=hypes.voxel.lidar_range, num_agents=max_cav,
-            num_objects=12, points_per_agent=20000, seed=s,
-        ))
-        for s in range(args.synthetic)
-    ]
+    if args.synthetic:
+        print(f"[train] generating {args.synthetic} synthetic frames...")
+        frames = [
+            make_frame(SyntheticCfg(
+                lidar_range=hypes.voxel.lidar_range, num_agents=max_cav,
+                num_objects=12, points_per_agent=20000, seed=s,
+            ))
+            for s in range(args.synthetic)
+        ]
+    else:
+        from quantv2x_tpu.data.dataset import build_frame_source
+        ds = build_frame_source(hypes.raw, "train", max_cav=max_cav)
+        n = min(len(ds), args.max_frames)
+        print(f"[train] loading {n}/{len(ds)} frames from "
+              f"{hypes.raw.get('root_dir')}")
+        frames = [ds[i] for i in range(n)]
     if args.augment:
         from quantv2x_tpu.data.augment import augment_frame
         rng_aug = np.random.default_rng(123)

@@ -122,3 +122,58 @@ class TestV2XSET:
         names = {s["name"] for s in ds.scenarios}
         assert "2021_09_09_13_20_58" not in names
         assert "scene_b" in names
+
+
+class TestTimeDelay:
+    """wild_setting async parity (v2xreal_basedataset.py:89-122,483-513)."""
+
+    def _tree(self, tmp_path):
+        import yaml as _yaml
+        root = tmp_path / "delay_root"
+        for cav, poses in {"1": {"000068": [0, 0, 0, 0, 0, 0],
+                                 "000070": [1, 0, 0, 0, 0, 0]},
+                           "2": {"000068": [10, 0, 0, 0, 0, 0],
+                                 "000070": [11, 0, 0, 0, 0, 0]}}.items():
+            d = root / "s0" / cav
+            d.mkdir(parents=True)
+            for ts, pose in poses.items():
+                (d / f"{ts}.yaml").write_text(_yaml.safe_dump(
+                    {"lidar_pose": pose, "vehicles": {}}))
+                np.zeros((10, 4), np.float32).tofile(d / f"{ts}.bin")
+        return str(root)
+
+    def test_sim_mode_one_frame_stale(self, tmp_path):
+        from quantv2x_tpu.data.noise_sim import WildCfg
+        root = self._tree(tmp_path)
+        wild = WildCfg(async_flag=True, async_mode="sim", async_overhead=100)
+        ds = V2XDataset(root, "v2v", max_cav=2, max_points=20, wild=wild)
+        frame = ds[1]  # second timestamp
+        # ego is current (x=1); cav 2 is delayed 100ms -> 1 frame (x=10)
+        assert frame["agent_poses"][0][0] == pytest.approx(1.0)
+        assert frame["agent_poses"][1][0] == pytest.approx(10.0)
+
+    def test_delay_clamped_at_sequence_start(self, tmp_path):
+        from quantv2x_tpu.data.noise_sim import WildCfg
+        root = self._tree(tmp_path)
+        wild = WildCfg(async_flag=True, async_mode="sim", async_overhead=500)
+        ds = V2XDataset(root, "v2v", max_cav=2, max_points=20, wild=wild)
+        frame = ds[0]
+        assert frame["agent_poses"][1][0] == pytest.approx(10.0)
+
+    def test_real_mode_delay_formula(self):
+        from quantv2x_tpu.data.noise_sim import WildCfg, time_delay_frames
+        rng = np.random.default_rng(0)
+        # zero overhead noise bound: delay = data_size/speed*1000 + backbone
+        cfg = WildCfg(async_flag=True, async_mode="real", async_overhead=0.0,
+                      data_size=2.7, transmission_speed=27.0,
+                      backbone_delay=50.0)
+        # 2.7/27*1000 + 50 = 150 ms -> 1 frame @ 10 Hz
+        assert time_delay_frames(cfg, rng, ego=False) == 1
+        assert time_delay_frames(cfg, rng, ego=True) == 0
+
+    def test_disabled_is_noop(self, tmp_path):
+        from quantv2x_tpu.data.noise_sim import WildCfg
+        root = self._tree(tmp_path)
+        ds = V2XDataset(root, "v2v", max_cav=2, max_points=20,
+                        wild=WildCfg())
+        assert ds[1]["agent_poses"][1][0] == pytest.approx(11.0)

@@ -65,3 +65,62 @@ class TestFusedBlock:
         got = fused_basic_block(z, w1, zb, w2, zb, h_tile=4,
                                 interpret=True)
         assert float(jnp.abs(got).sum()) == 0.0
+
+
+class TestFusedBottleneck:
+    """Fused ResNeXt bottleneck kernel (1x1 -> 3x3 -> 1x1 + residual)."""
+
+    def _setup(self, N=1, H=12, W=16, C=8, Wd=12, seed=0,
+               dtype=jnp.float32):
+        rng = np.random.default_rng(seed)
+        a = lambda s: jnp.asarray(
+            rng.normal(0, 0.1, s).astype(np.float32), dtype)
+        x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32),
+                        dtype)
+        return (x, a((C, Wd)), a((Wd,)), a((3, 3, Wd, Wd)), a((Wd,)),
+                a((Wd, C)), a((C,)))
+
+    def test_matches_xla_reference(self):
+        from quantv2x_tpu.ops.fused_block import (
+            bottleneck_reference, fused_bottleneck)
+        args = self._setup()
+        ref = bottleneck_reference(*args)
+        got = fused_bottleneck(*args, h_tile=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_ragged_height_and_width(self):
+        from quantv2x_tpu.ops.fused_block import (
+            bottleneck_reference, fused_bottleneck)
+        args = self._setup(N=2, H=11, W=13, C=8, Wd=16, seed=1)
+        ref = bottleneck_reference(*args)
+        got = fused_bottleneck(*args, h_tile=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_border_bias_does_not_leak(self):
+        # relu(b1) at out-of-image positions must NOT feed the 3x3: with
+        # zero input + positive biases, interior output = relu(b3 + conv2
+        # constant) everywhere, and a wrong border handling shows up as
+        # different edge vs center values being *missing*. Compare against
+        # the XLA reference which applies true SAME padding.
+        from quantv2x_tpu.ops.fused_block import (
+            bottleneck_reference, fused_bottleneck)
+        x, w1, b1, w2, b2, w3, b3 = self._setup(seed=2)
+        x = jnp.zeros_like(x)
+        b1 = jnp.abs(b1) + 0.5
+        args = (x, w1, b1, w2, b2, w3, b3)
+        ref = bottleneck_reference(*args)
+        got = fused_bottleneck(*args, h_tile=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bf16(self):
+        from quantv2x_tpu.ops.fused_block import (
+            bottleneck_reference, fused_bottleneck)
+        args = self._setup(dtype=jnp.bfloat16, seed=3)
+        ref = bottleneck_reference(*args)
+        got = fused_bottleneck(*args, h_tile=4, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=0.1, atol=0.05)

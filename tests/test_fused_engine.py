@@ -39,7 +39,8 @@ def test_table_walk_selects_only_stride1_blocks():
         or any("layer0_block1" in k for k in tables)
     assert not any("layer1_block0" in k for k in tables)
     assert any("layer1_block1" in k for k in tables)
-    for w1, b1, w2, b2 in tables.values():
+    for kind, w1, b1, w2, b2 in tables.values():
+        assert kind == "basic"
         assert w1.shape[:2] == (3, 3) and w2.shape[:2] == (3, 3)
         assert b1.dtype == jnp.float32 and b2.dtype == jnp.float32
 
@@ -56,10 +57,42 @@ def test_fused_apply_matches_stock_eval():
     # and the fused path actually diverges if we corrupt a table (i.e. the
     # interceptor really runs the kernel, not the stock path)
     k = next(iter(tables))
-    w1, b1, w2, b2 = tables[k]
+    kind, w1, b1, w2, b2 = tables[k]
     tables2 = dict(tables)
-    tables2[k] = (w1, b1 + 10.0, w2, b2)
+    tables2[k] = (kind, w1, b1 + 10.0, w2, b2)
     from quantv2x_tpu.quant.fused_engine import make_fused_apply
     got2 = make_fused_apply(model, tables2, h_tile=8, interpret=True)(
         variables, x)
     assert not np.allclose(np.asarray(got2), np.asarray(ref), atol=1e-3)
+
+
+def test_bottleneck_engine_matches_stock_eval():
+    """ResNeXt bottleneck stacks (the flagship pyramid trunk) run through
+    the fused bottleneck kernel with identical results."""
+    from quantv2x_tpu.models.layers import ResNetModified
+
+    model = ResNetModified(
+        layer_nums=(2, 2), layer_strides=(1, 2), num_filters=(16, 32),
+        block="bottleneck", groups=4, base_width=4,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 16, 24, 16))
+        .astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * jnp.arange(v.size, dtype=v.dtype)
+        .reshape(v.shape) / max(v.size, 1),
+        variables)
+    tables, fused_apply = build_fused_engine(
+        model, variables, h_tile=8, interpret=True, dtype=jnp.float32)
+    # layer0 block0 (stride 1, Cin==Cout) + block1, layer1 block1 fusable;
+    # layer1 block0 has a downsample -> excluded
+    assert any("layer0_block0" in k for k in tables)
+    assert not any("layer1_block0" in k for k in tables)
+    kinds = {t[0] for t in tables.values()}
+    assert kinds == {"bottleneck"}
+    ref = model.apply(variables, x, train=False)
+    got = fused_apply(variables, x)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-3, atol=2e-3)
