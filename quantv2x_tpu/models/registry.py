@@ -147,6 +147,24 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
         from quantv2x_tpu.models.single_model import PyramidSingleModel
         return PyramidSingleModel(mcfg), "late"
 
+    if "gencomm" in base:
+        # heter_model_baseline_w_gencomm_stage{1,2}: detection stack +
+        # diffusion message generator (stage picked by the trainer's
+        # freeze scopes, tools/train_gencomm.py)
+        from quantv2x_tpu.models.collab_model import PyramidCollabModel
+        from quantv2x_tpu.models.gencomm import (
+            GenCommCfg,
+            GenCommCollabModel,
+        )
+        gc_args = args.get("gencomm", {})
+        gcfg = GenCommCfg(
+            channels=mcfg.backbone_filters[-1],
+            timesteps=int(gc_args.get("timesteps", 100)),
+        )
+        return (GenCommCollabModel(
+            base_model=PyramidCollabModel(mcfg, name="base_model"),
+            cfg=gcfg), "collab")
+
     if base.startswith("heter_collab") or base.startswith("heter_model") \
             or base.startswith("heter_baseline_collab") \
             or base == "heter_pyramid_single_clip":
