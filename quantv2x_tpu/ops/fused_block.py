@@ -99,6 +99,22 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xs, sem,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16M scoped limit
+
+
+def _fit_h_tile(h_tile: int, per_row_bytes: int, fixed_bytes: int) -> int:
+    """Shrink h_tile until the kernel's working set fits scoped VMEM.
+
+    Wide full-BEV inputs (e.g. 352x100 backbone stages) overflow the 16M
+    scoped-vmem limit at h_tile=16; halving the row tile trades grid steps
+    for fit (each step still DMAs full rows, so bytes moved are unchanged).
+    """
+    while h_tile > 4 and fixed_bytes + (h_tile + 4) * per_row_bytes > \
+            _VMEM_BUDGET:
+        h_tile //= 2
+    return h_tile
+
+
 @functools.partial(jax.jit, static_argnames=("h_tile", "interpret"))
 def fused_basic_block(x, w1, b1, w2, b2, h_tile: int = 16,
                       interpret: bool = False):
@@ -111,6 +127,11 @@ def fused_basic_block(x, w1, b1, w2, b2, h_tile: int = 16,
     N, H, W, C = x.shape
     assert w1.shape[2] == C and w2.shape[3] == C, "residual needs Cin==Cout"
     cmid = w1.shape[3]
+    Wt0 = -(-(W + 4) // 8) * 8
+    Cp0 = -(-C // 128) * 128 if not interpret else C
+    # xs + acc1(f32) + h1 + acc2(f32) + out + residual(f32), per tile row
+    per_row = Wt0 * (Cp0 * 2 + cmid * 6 + Cp0 * 4 + Cp0 * 2 + Cp0 * 4)
+    h_tile = _fit_h_tile(h_tile, per_row, 2 * 9 * C * cmid * 2)
     Hp = -(-H // h_tile) * h_tile           # round H up to tile multiple
     Wt = -(-(W + 4) // 8) * 8               # sublane-aligned full width
     # Mosaic's manual-DMA memref slices require the lane dim to be a
@@ -237,6 +258,14 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, h_tile: int = 16,
     N, H, W, C = x.shape
     assert w1.shape[0] == C and w3.shape[1] == C, "residual needs Cin==Cout"
     width = w1.shape[1]
+    Wt0 = -(-(W + 2) // 8) * 8
+    Cp0 = -(-C // 128) * 128 if not interpret else C
+    Wd0 = -(-width // 128) * 128 if not interpret else width
+    # xs + acc1(f32)+h1 + acc2(f32)+h2 + y(f32) + out + residual(f32)
+    per_row = Wt0 * (Cp0 * 2 + Wd0 * 6 + Wd0 * 6 + Cp0 * 4 + Cp0 * 2
+                     + Cp0 * 4)
+    h_tile = _fit_h_tile(h_tile, per_row,
+                         (9 * Wd0 * Wd0 + 2 * Cp0 * Wd0) * 2)
     Hp = -(-H // h_tile) * h_tile
     Wt = -(-(W + 2) // 8) * 8
     Cp = -(-C // 128) * 128 if not interpret else C
