@@ -202,9 +202,13 @@ def make_fused_apply(model, tables, h_tile: int = 16,
                 return y.astype(x.dtype)
         return next_fn(*args, **kwargs)
 
-    def fused_apply(variables, batch, train: bool = False):
+    def fused_apply(variables, *args, train: bool = False, method=None,
+                    **kwargs):
         with nn.intercept_methods(interceptor):
-            return model.apply(variables, batch, train=False)
+            if method is None:
+                return model.apply(variables, *args, train=False, **kwargs)
+            return model.apply(variables, *args, train=False,
+                               method=method, **kwargs)
 
     return fused_apply
 
