@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+# Parity: scripts/inference_mc/inference_mc_fp.sh — full-precision eval.
+set -e
+cd "$(dirname "$0")/../.."
+python -m quantv2x_tpu.tools.inference -y configs/v2xreal_lidar_pyramid.yaml \
+    --run_dir runs/lidar_pyramid "$@"
