@@ -1,25 +1,41 @@
-"""Pallas fused residual block: conv3x3+bias+relu -> conv3x3+bias
-+ residual + relu in ONE kernel.
+"""Pallas fused residual blocks: a whole BasicBlock / ResNeXt Bottleneck
+in ONE kernel, with a chain-friendly padded layout.
 
 Why: the tunneled TPU measures ~68 GB/s HBM read bandwidth (BASELINE.md
 device calibration) and the BEV backbones are bandwidth-bound; XLA writes
-each conv's activation back to HBM (3 round trips per BasicBlock). This
-kernel reads the input tile once into VMEM, runs both convolutions as
-9 shifted MXU matmuls each (dot_general over the channel dim), and writes
-only the block output — ~3x byte reduction per block.
+each conv's activation back to HBM (3-4 round trips per residual block).
+These kernels read the input tile once into VMEM, run all convolutions as
+shifted MXU matmuls (dot_general over the channel dim), and write only the
+block output.
 
-Mosaic layout note: the W axis is the sublane dim, and sublane slices must
-be 8-aligned — so the column shifts of the 3x3 stencil CANNOT be expressed
-as `x[:, dx:dx+W]` slices. Instead everything is computed at full padded
-width and the dx shifts are `pltpu.roll` sublane rotations; rotation
-wraparound lands outside the image border and is zeroed by the SAME-padding
-mask (conv1) or discarded by the final trim (conv2/residual).
+Chain layout: both kernels take AND produce a buffer of shape
+(N, R, Wt, Cp) holding the (H, W, C) image at offset (halo, halo) with
+zeros everywhere else (halo = receptive-field radius: 2 for BasicBlock's
+two 3x3s, 1 for the Bottleneck's 1x1-3x3-1x1). Because input and output
+layouts are identical, a stack of same-shape blocks chains directly — the
+engine (quant/fused_engine) hands block k's padded output straight to
+block k+1, and the per-block pad/slice HBM copies (which cost more than
+the convs on a BW-bound device at C=64, where lane padding doubles the
+bytes) disappear. The kernels zero their padded region (bias would
+otherwise leak there) so the chain invariant holds.
 
-Inference-path kernel: BatchNorm must be pre-folded into (w, b) (see
-quant/int8_engine.fold_conv_bn). Weights layout (3, 3, Cin, Cout).
+Mosaic layout notes: in the (rows, W, C) tiles, C is the lane dim (must
+pad to 128 for manual-DMA memrefs) and W the sublane dim (8-aligned). The
+dx shifts of the 3x3 stencil are `pltpu.roll` sublane rotations computed
+at full padded width; rotation wraparound lands outside the image border
+and is zeroed by the padding mask. The final result is rolled back so the
+output's column origin matches the input's.
 
-Grid: (N, H/H_T) row-tiles over a zero-padded input; each step DMAs a
-haloed (H_T+4, Wt, C) slice from HBM into VMEM scratch.
+Inference-path kernels: BatchNorm must be pre-folded into (w, b) (see
+quant/int8_engine.fold_conv_bn). Weight layouts: 3x3 convs (3, 3, Cin,
+Cout); 1x1 convs (Cin, Cout). Grouped 3x3s must be pre-materialized to
+block-diagonal dense (quant/fused_engine.grouped_to_blockdiag) — bit-equal
+outputs, full MXU tiles.
+
+Grid: (N, ceil(H / h_tile)) row-tiles; each step manually DMAs a haloed
+(h_tile + 2*halo, Wt, Cp) slice HBM->VMEM, computes, and DMAs the
+(h_tile, Wt, Cp) output rows back. Tile 0 / the last tile additionally
+zero the top / bottom halo rows of the output buffer.
 """
 
 import functools
@@ -29,77 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, xs, sem,
-            *, h_tile: int, w_t: int, w_out: int, h_orig: int, cmid: int,
-            cout: int, interpret: bool):
-    n = pl.program_id(0)
-    i = pl.program_id(1)
-
-    def roll_cols(v, dx):
-        # result[p] = v[p + dx] (wraparound handled by masking/trim);
-        # pltpu.roll requires a non-negative shift, so use the cyclic
-        # equivalent w_t - dx. Mosaic only rotates 32-bit data — bf16
-        # round-trips through f32 for the rotate (vector casts, cheap next
-        # to the 9 MXU dots).
-        if dx == 0:
-            return v
-        if interpret:
-            return jnp.roll(v, -dx, axis=1)
-        if v.dtype.itemsize == 4:
-            return pltpu.roll(v, w_t - dx, axis=1)
-        return pltpu.roll(v.astype(jnp.float32), w_t - dx,
-                          axis=1).astype(v.dtype)
-
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(i * h_tile, h_tile + 4)], xs, sem)
-    dma.start()
-    dma.wait()
-
-    H1 = h_tile + 2          # conv1 output rows (feeds conv2)
-
-    # conv1 at full width: h1[r, p] = conv1 output at global
-    # (row i*h_tile + r - 1, col p - 1); inputs live at xs[r + dy, p + dx]
-    acc1 = jnp.zeros((H1, w_t, cmid), jnp.float32)
-    for dy in range(3):
-        rows = xs[dy:dy + H1]
-        for dx in range(3):
-            acc1 = acc1 + jax.lax.dot_general(
-                roll_cols(rows, dx), w1_ref[dy, dx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    h1 = jnp.maximum(acc1 + b1_ref[:].astype(jnp.float32), 0.0)
-    # SAME-padding parity: the intermediate only exists INSIDE the image;
-    # conv2 must see zeros beyond the borders (relu(bias) would otherwise
-    # leak in). The mask also kills rotation wraparound (cols >= w_out).
-    # 32-bit 0/1 multiply — Mosaic cannot reshape i1 vectors to add a minor
-    # dim, and relu output is >= 0 so multiply == where.
-    row = (i * h_tile - 1
-           + jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 0))
-    col = jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 1) - 1
-    inside = ((row >= 0) & (row < h_orig) & (col >= 0) &
-              (col < w_out)).astype(jnp.float32)
-    h1 = (h1 * inside).astype(xs.dtype)
-
-    # conv2 on the VMEM-resident intermediate: out[r, u] needs
-    # h1[r + dy, u + dx]
-    acc2 = jnp.zeros((h_tile, w_t, cout), jnp.float32)
-    for dy in range(3):
-        rows = h1[dy:dy + h_tile]
-        for dx in range(3):
-            acc2 = acc2 + jax.lax.dot_general(
-                roll_cols(rows, dx), w2_ref[dy, dx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    # residual: x at global (i*h_tile + r, u) = xs[r + 2, u + 2]
-    residual = roll_cols(xs[2:2 + h_tile], 2).astype(jnp.float32)
-    y = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32) + residual, 0.0)
-    out_ref[0] = y.astype(out_ref.dtype)
-
-
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16M scoped limit
+_VMEM_BUDGET = 12 * 1024 * 1024  # headroom under the 16M scoped limit
 
 
 def _fit_h_tile(h_tile: int, per_row_bytes: int, fixed_bytes: int) -> int:
@@ -115,40 +61,158 @@ def _fit_h_tile(h_tile: int, per_row_bytes: int, fixed_bytes: int) -> int:
     return h_tile
 
 
-@functools.partial(jax.jit, static_argnames=("h_tile", "interpret"))
-def fused_basic_block(x, w1, b1, w2, b2, h_tile: int = 16,
-                      interpret: bool = False):
-    """Fused y = relu(conv(relu(conv(x, w1) + b1), w2) + b2 + x).
+def _roll_cols(v, dx, w_t, interpret):
+    """result[p] = v[p + dx] along the sublane (W) axis; dx may be
+    negative (then result[p] = v[p + dx] with low-index wraparound, which
+    callers mask/ignore). Mosaic only rotates 32-bit data — bf16
+    round-trips through f32 (vector casts, cheap next to the MXU dots)."""
+    if dx == 0:
+        return v
+    if interpret:
+        return jnp.roll(v, -dx, axis=1)
+    shift = (w_t - dx) % w_t
+    if v.dtype.itemsize == 4:
+        return pltpu.roll(v, shift, axis=1)
+    return pltpu.roll(v.astype(jnp.float32), shift, axis=1).astype(v.dtype)
 
-    x: (N, H, W, C); w1: (3, 3, C, C); w2: (3, 3, C, C); b: (C,).
-    Residual requires Cin == Cout (the backbone BasicBlock case).
-    SAME padding, stride 1.
-    """
-    N, H, W, C = x.shape
-    assert w1.shape[2] == C and w2.shape[3] == C, "residual needs Cin==Cout"
-    cmid = w1.shape[3]
-    Wt0 = -(-(W + 4) // 8) * 8
-    Cp0 = -(-C // 128) * 128 if not interpret else C
-    # xs + acc1(f32) + h1 + acc2(f32) + out + residual(f32), per tile row
-    per_row = Wt0 * (Cp0 * 2 + cmid * 6 + Cp0 * 4 + Cp0 * 2 + Cp0 * 4)
-    h_tile = _fit_h_tile(h_tile, per_row, 2 * 9 * C * cmid * 2)
-    Hp = -(-H // h_tile) * h_tile           # round H up to tile multiple
-    Wt = -(-(W + 4) // 8) * 8               # sublane-aligned full width
-    # Mosaic's manual-DMA memref slices require the lane dim to be a
-    # multiple of 128 even at full extent — pad C (costs extra bytes only
-    # for the C=64 stage; the fused single round trip still nets out)
+
+def chain_geometry(H, W, C, cmid, h_tile, halo, interpret):
+    """(h_tile, R, Wt, Cp) for the chain-layout buffer of an (H, W, C)
+    image processed by a block with intermediate width ``cmid``."""
+    Wt = -(-(W + 2 * halo) // 8) * 8
     Cp = -(-C // 128) * 128 if not interpret else C
-    xp = jnp.pad(x, ((0, 0), (2, 2 + Hp - H), (2, Wt - W - 2), (0, Cp - C)))
+    Cm = -(-cmid // 128) * 128 if not interpret else cmid
+    # xs + intermediates(f32+bf16) + y(f32) + out scratch, per tile row
+    per_row = Wt * (Cp * 2 + Cm * 6 + Cm * 6 + Cp * 4 + Cp * 2 + Cp * 4)
+    h_tile = _fit_h_tile(h_tile, per_row,
+                         (9 * Cm * Cm + 2 * Cp * Cm) * 2)
+    ngrid = -(-H // h_tile)
+    R = ngrid * h_tile + 2 * halo
+    return h_tile, R, Wt, Cp
+
+
+def to_chain_layout(x, geom, halo):
+    """(N, H, W, C) -> (N, R, Wt, Cp) with the image at (halo, halo)."""
+    N, H, W, C = x.shape
+    _, R, Wt, Cp = geom
+    return jnp.pad(x, ((0, 0), (halo, R - H - halo),
+                       (halo, Wt - W - halo), (0, Cp - C)))
+
+
+def from_chain_layout(xp, hwc, halo):
+    H, W, C = hwc
+    return xp[:, halo:halo + H, halo:halo + W, :C]
+
+
+# ---------------------------------------------------------------------------
+# BasicBlock: relu(conv3x3(relu(conv3x3(x)+b1))+b2+x), halo = 2
+# ---------------------------------------------------------------------------
+
+def _basic_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_hbm,
+                  xs, ys, zs, sem_in, sem_out, sem_z, *,
+                  h_tile: int, w_t: int, w_img: int, h_img: int,
+                  cmid: int, r_rows: int, interpret: bool):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    ngrid = pl.num_programs(1)
+
+    roll = functools.partial(_roll_cols, w_t=w_t, interpret=interpret)
+
+    dma_in = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(i * h_tile, h_tile + 4)], xs, sem_in)
+    dma_in.start()
+    dma_in.wait()
+
+    H1 = h_tile + 2          # conv1 output rows feeding conv2
+
+    # conv1: xs[r] is buffer row i*h_tile + r = image row i*h_tile + r - 2
+    # (image at offset 2); h1[r, p] = conv1 at image
+    # (i*h_tile + r - 1, col p - 1)
+    acc1 = jnp.zeros((H1, w_t, cmid), jnp.float32)
+    for dy in range(3):
+        rows = xs[dy:dy + H1]
+        for dx in range(3):
+            acc1 = acc1 + jax.lax.dot_general(
+                roll(rows, dx), w1_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    h1 = jnp.maximum(acc1 + b1_ref[:].astype(jnp.float32), 0.0)
+    # SAME-padding parity: the intermediate exists only INSIDE the image;
+    # zero the border so conv2 sees padding zeros (also kills rotation
+    # wraparound). 0/1 f32 multiply — relu output >= 0 so mul == where.
+    row = (i * h_tile - 1
+           + jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 0))
+    col = jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 1) - 1
+    inside = ((row >= 0) & (row < h_img) & (col >= 0) &
+              (col < w_img)).astype(jnp.float32)
+    h1 = (h1 * inside).astype(xs.dtype)
+
+    # conv2: out[r, u] = conv2 at image (i*h_tile + r, col u)
+    acc2 = jnp.zeros((h_tile, w_t, out_hbm.shape[-1]), jnp.float32)
+    for dy in range(3):
+        rows = h1[dy:dy + h_tile]
+        for dx in range(3):
+            acc2 = acc2 + jax.lax.dot_general(
+                roll(rows, dx), w2_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y = acc2 + b2_ref[:].astype(jnp.float32)
+    # align to the chain layout (lane l <-> col l - 2) BEFORE the residual
+    # (xs is already in that layout), then mask the padded region to zero
+    y = roll(y, -2)
+    residual = xs[2:2 + h_tile].astype(jnp.float32)
+    y = jnp.maximum(y + residual, 0.0)
+    orow = (i * h_tile
+            + jax.lax.broadcasted_iota(jnp.int32, (h_tile, w_t, 1), 0))
+    ocol = jax.lax.broadcasted_iota(jnp.int32, (h_tile, w_t, 1), 1) - 2
+    out_inside = ((orow < h_img) & (ocol >= 0) &
+                  (ocol < w_img)).astype(jnp.float32)
+    ys[:] = (y * out_inside).astype(ys.dtype)
+
+    dma_out = pltpu.make_async_copy(
+        ys, out_hbm.at[n, pl.ds(2 + i * h_tile, h_tile)], sem_out)
+    dma_out.start()
+    dma_out.wait()
+
+    # zero the halo rows of the output buffer so the chain invariant holds
+    zs[:] = jnp.zeros(zs.shape, zs.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        d = pltpu.make_async_copy(zs, out_hbm.at[n, pl.ds(0, 2)], sem_z)
+        d.start()
+        d.wait()
+
+    @pl.when(i == ngrid - 1)
+    def _():
+        d = pltpu.make_async_copy(
+            zs, out_hbm.at[n, pl.ds(r_rows - 2, 2)], sem_z)
+        d.start()
+        d.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("hwc", "h_tile", "interpret"))
+def fused_basic_block_chained(xp, w1, b1, w2, b2, hwc, h_tile: int = 16,
+                              interpret: bool = False):
+    """Chain-layout fused BasicBlock. xp: (N, R, Wt, Cp) with the (H, W, C)
+    image at offset (2, 2) and zeros elsewhere; returns the same layout.
+    w1: (3, 3, C, Cmid); w2: (3, 3, Cmid, C); stride 1, Cin == Cout."""
+    H, W, C = hwc
+    N, R, Wt, Cp = xp.shape
+    cmid = w1.shape[3]
+    ngrid = (R - 4) // h_tile
     w1p = jnp.pad(w1, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
     w2p = jnp.pad(w2, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
     b2p = jnp.pad(b2, (0, Cp - C))
 
-    grid = (N, Hp // h_tile)
     out = pl.pallas_call(
-        functools.partial(_kernel, h_tile=h_tile, w_t=Wt, w_out=W,
-                          h_orig=H, cmid=cmid, cout=Cp, interpret=interpret),
-        out_shape=jax.ShapeDtypeStruct((N, Hp, Wt, Cp), x.dtype),
-        grid=grid,
+        functools.partial(_basic_kernel, h_tile=h_tile, w_t=Wt, w_img=W,
+                          h_img=H, cmid=cmid, r_rows=R,
+                          interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((N, R, Wt, Cp), xp.dtype),
+        grid=(N, ngrid),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),      # w1
@@ -156,45 +220,62 @@ def fused_basic_block(x, w1, b1, w2, b2, h_tile: int = 16,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # w2
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b2
         ],
-        out_specs=pl.BlockSpec(
-            (1, h_tile, Wt, Cp),
-            lambda n, i: (n, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),    # manual out DMA
         scratch_shapes=[
-            pltpu.VMEM((h_tile + 4, Wt, Cp), x.dtype),
+            pltpu.VMEM((h_tile + 4, Wt, Cp), xp.dtype),
+            pltpu.VMEM((h_tile, Wt, Cp), xp.dtype),
+            pltpu.VMEM((2, Wt, Cp), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp, w1p, b1, w2p, b2p)
-    return out[:, :H, :W, :C]
+    return out
 
+
+def fused_basic_block(x, w1, b1, w2, b2, h_tile: int = 16,
+                      interpret: bool = False):
+    """Standalone fused y = relu(conv(relu(conv(x, w1) + b1), w2) + b2 + x).
+
+    x: (N, H, W, C); w1: (3, 3, C, Cmid); w2: (3, 3, Cmid, C); SAME
+    padding, stride 1, residual requires Cin == Cout. Convenience wrapper:
+    pads into the chain layout, runs the kernel, slices back. Stacked
+    blocks should chain the padded layout instead (quant/fused_engine
+    does this automatically).
+    """
+    N, H, W, C = x.shape
+    assert w1.shape[2] == C and w2.shape[3] == C, "residual needs Cin==Cout"
+    geom = chain_geometry(H, W, C, w1.shape[3], h_tile, 2, interpret)
+    xp = to_chain_layout(x, geom, 2)
+    out = fused_basic_block_chained(xp, w1, b1, w2, b2, (H, W, C),
+                                    h_tile=geom[0], interpret=interpret)
+    return from_chain_layout(out, (H, W, C), 2)
+
+
+# ---------------------------------------------------------------------------
+# ResNeXt Bottleneck (expansion=1): 1x1 -> 3x3 -> 1x1 + residual, halo = 1
+# ---------------------------------------------------------------------------
 
 def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                       out_ref, xs, sem, *, h_tile: int, w_t: int,
-                       w_out: int, h_orig: int, width: int, cout: int,
-                       interpret: bool):
+                       out_hbm, xs, ys, zs, sem_in, sem_out, sem_z, *,
+                       h_tile: int, w_t: int, w_img: int, h_img: int,
+                       width: int, r_rows: int, interpret: bool):
     n = pl.program_id(0)
     i = pl.program_id(1)
+    ngrid = pl.num_programs(1)
 
-    def roll_cols(v, dx):
-        if dx == 0:
-            return v
-        if interpret:
-            return jnp.roll(v, -dx, axis=1)
-        if v.dtype.itemsize == 4:
-            return pltpu.roll(v, w_t - dx, axis=1)
-        return pltpu.roll(v.astype(jnp.float32), w_t - dx,
-                          axis=1).astype(v.dtype)
+    roll = functools.partial(_roll_cols, w_t=w_t, interpret=interpret)
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(i * h_tile, h_tile + 2)], xs, sem)
-    dma.start()
-    dma.wait()
+    dma_in = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(i * h_tile, h_tile + 2)], xs, sem_in)
+    dma_in.start()
+    dma_in.wait()
 
     H1 = h_tile + 2          # rows needed by the 3x3 (halo 1 each side)
 
-    # conv1 (1x1) on every haloed row: h1[r, p] = result at global
+    # conv1 (1x1) on every haloed row: xs[r] = buffer row i*h_tile + r =
+    # image row i*h_tile + r - 1; h1[r, p] = conv1 at image
     # (i*h_tile + r - 1, col p - 1)
     acc1 = jax.lax.dot_general(
         xs[:], w1_ref[:],
@@ -202,75 +283,78 @@ def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
         preferred_element_type=jnp.float32,
     )
     h1 = jnp.maximum(acc1 + b1_ref[:].astype(jnp.float32), 0.0)
-    # SAME-padding parity: a 1x1 conv of a zero input is relu(b1) != 0, but
-    # the true intermediate exists only INSIDE the image — zero the border
-    # so conv2 sees SAME-padding zeros (also kills rotation wraparound)
+    # a 1x1 conv of a zero input is relu(b1) != 0, but the true
+    # intermediate exists only INSIDE the image — zero the border so the
+    # 3x3 sees SAME-padding zeros (also kills rotation wraparound)
     row = (i * h_tile - 1
            + jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 0))
     col = jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 1) - 1
-    inside = ((row >= 0) & (row < h_orig) & (col >= 0) &
-              (col < w_out)).astype(jnp.float32)
+    inside = ((row >= 0) & (row < h_img) & (col >= 0) &
+              (col < w_img)).astype(jnp.float32)
     h1 = (h1 * inside).astype(xs.dtype)
 
-    # conv2 (3x3, block-diagonal dense weights) on the VMEM intermediate:
-    # out[r, u] at global (i*h_tile + r, u) needs h1[r + dy, u + dx]
+    # conv2 (3x3, block-diagonal dense): out[r, u] at image
+    # (i*h_tile + r, col u) needs h1[r + dy, u + dx]
     acc2 = jnp.zeros((h_tile, w_t, width), jnp.float32)
     for dy in range(3):
         rows = h1[dy:dy + h_tile]
         for dx in range(3):
             acc2 = acc2 + jax.lax.dot_general(
-                roll_cols(rows, dx), w2_ref[dy, dx],
+                roll(rows, dx), w2_ref[dy, dx],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
     h2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32),
                      0.0).astype(xs.dtype)
 
-    # conv3 (1x1) + residual + relu; residual x at global
-    # (i*h_tile + r, u) = xs[r + 1, u + 1]
+    # conv3 (1x1) + layout roll + residual + relu + padded-region mask
     acc3 = jax.lax.dot_general(
         h2, w3_ref[:],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    residual = roll_cols(xs[1:1 + h_tile], 1).astype(jnp.float32)
-    y = jnp.maximum(acc3 + b3_ref[:].astype(jnp.float32) + residual, 0.0)
-    out_ref[0] = y.astype(out_ref.dtype)
+    y = roll(acc3 + b3_ref[:].astype(jnp.float32), -1)
+    residual = xs[1:1 + h_tile].astype(jnp.float32)
+    y = jnp.maximum(y + residual, 0.0)
+    orow = (i * h_tile
+            + jax.lax.broadcasted_iota(jnp.int32, (h_tile, w_t, 1), 0))
+    ocol = jax.lax.broadcasted_iota(jnp.int32, (h_tile, w_t, 1), 1) - 1
+    out_inside = ((orow < h_img) & (ocol >= 0) &
+                  (ocol < w_img)).astype(jnp.float32)
+    ys[:] = (y * out_inside).astype(ys.dtype)
+
+    dma_out = pltpu.make_async_copy(
+        ys, out_hbm.at[n, pl.ds(1 + i * h_tile, h_tile)], sem_out)
+    dma_out.start()
+    dma_out.wait()
+
+    zs[:] = jnp.zeros(zs.shape, zs.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        d = pltpu.make_async_copy(zs, out_hbm.at[n, pl.ds(0, 1)], sem_z)
+        d.start()
+        d.wait()
+
+    @pl.when(i == ngrid - 1)
+    def _():
+        d = pltpu.make_async_copy(
+            zs, out_hbm.at[n, pl.ds(r_rows - 1, 1)], sem_z)
+        d.start()
+        d.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("h_tile", "interpret"))
-def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, h_tile: int = 16,
-                     interpret: bool = False):
-    """Fused ResNeXt bottleneck (expansion=1, stride 1, Cin == Cout):
-
-        y = relu(conv1x1(relu(conv3x3(relu(conv1x1(x,w1)+b1), w2)+b2), w3)
-                 + b3 + x)
-
-    One HBM read of x and one write of y replace XLA's four activation
-    round trips (the BW-bound device's dominant cost; BASELINE.md device
-    calibration). The reference's grouped 3x3 (groups=32) must be
-    pre-materialized to block-diagonal dense ``w2`` (see
-    quant/fused_engine.grouped_to_blockdiag) — bit-equal outputs, full MXU
-    tiles.
-
-    x: (N, H, W, C); w1: (C, Wd); w2: (3, 3, Wd, Wd); w3: (Wd, C).
-    """
-    N, H, W, C = x.shape
-    assert w1.shape[0] == C and w3.shape[1] == C, "residual needs Cin==Cout"
+@functools.partial(jax.jit, static_argnames=("hwc", "h_tile", "interpret"))
+def fused_bottleneck_chained(xp, w1, b1, w2, b2, w3, b3, hwc,
+                             h_tile: int = 16, interpret: bool = False):
+    """Chain-layout fused Bottleneck. xp: (N, R, Wt, Cp) with the
+    (H, W, C) image at offset (1, 1), zeros elsewhere; same layout out.
+    w1: (C, Wd); w2: (3, 3, Wd, Wd) block-diagonal dense; w3: (Wd, C)."""
+    H, W, C = hwc
+    N, R, Wt, Cp = xp.shape
     width = w1.shape[1]
-    Wt0 = -(-(W + 2) // 8) * 8
-    Cp0 = -(-C // 128) * 128 if not interpret else C
-    Wd0 = -(-width // 128) * 128 if not interpret else width
-    # xs + acc1(f32)+h1 + acc2(f32)+h2 + y(f32) + out + residual(f32)
-    per_row = Wt0 * (Cp0 * 2 + Wd0 * 6 + Wd0 * 6 + Cp0 * 4 + Cp0 * 2
-                     + Cp0 * 4)
-    h_tile = _fit_h_tile(h_tile, per_row,
-                         (9 * Wd0 * Wd0 + 2 * Cp0 * Wd0) * 2)
-    Hp = -(-H // h_tile) * h_tile
-    Wt = -(-(W + 2) // 8) * 8
-    Cp = -(-C // 128) * 128 if not interpret else C
     Wd = -(-width // 128) * 128 if not interpret else width
-    xp = jnp.pad(x, ((0, 0), (1, 1 + Hp - H), (1, Wt - W - 1), (0, Cp - C)))
+    ngrid = (R - 2) // h_tile
     w1p = jnp.pad(w1, ((0, Cp - C), (0, Wd - width)))
     b1p = jnp.pad(b1, (0, Wd - width))
     w2p = jnp.pad(w2, ((0, 0), (0, 0), (0, Wd - width), (0, Wd - width)))
@@ -278,13 +362,12 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, h_tile: int = 16,
     w3p = jnp.pad(w3, ((0, Wd - width), (0, Cp - C)))
     b3p = jnp.pad(b3, (0, Cp - C))
 
-    grid = (N, Hp // h_tile)
     out = pl.pallas_call(
         functools.partial(_bottleneck_kernel, h_tile=h_tile, w_t=Wt,
-                          w_out=W, h_orig=H, width=Wd, cout=Cp,
+                          w_img=W, h_img=H, width=Wd, r_rows=R,
                           interpret=interpret),
-        out_shape=jax.ShapeDtypeStruct((N, Hp, Wt, Cp), x.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((N, R, Wt, Cp), xp.dtype),
+        grid=(N, ngrid),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),      # w1
@@ -294,18 +377,38 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, h_tile: int = 16,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # w3
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b3
         ],
-        out_specs=pl.BlockSpec(
-            (1, h_tile, Wt, Cp),
-            lambda n, i: (n, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),    # manual out DMA
         scratch_shapes=[
-            pltpu.VMEM((h_tile + 2, Wt, Cp), x.dtype),
+            pltpu.VMEM((h_tile + 2, Wt, Cp), xp.dtype),
+            pltpu.VMEM((h_tile, Wt, Cp), xp.dtype),
+            pltpu.VMEM((1, Wt, Cp), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp, w1p, b1p, w2p, b2p, w3p, b3p)
-    return out[:, :H, :W, :C]
+    return out
+
+
+def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, h_tile: int = 16,
+                     interpret: bool = False):
+    """Standalone fused ResNeXt bottleneck (expansion=1, stride 1,
+    Cin == Cout):
+
+        y = relu(conv1x1(relu(conv3x3(relu(conv1x1(x,w1)+b1), w2)+b2), w3)
+                 + b3 + x)
+
+    Convenience wrapper over the chain-layout kernel (pad + slice); the
+    engine chains stacked blocks on the padded layout instead.
+    """
+    N, H, W, C = x.shape
+    assert w1.shape[0] == C and w3.shape[1] == C, "residual needs Cin==Cout"
+    geom = chain_geometry(H, W, C, w1.shape[1], h_tile, 1, interpret)
+    xp = to_chain_layout(x, geom, 1)
+    out = fused_bottleneck_chained(xp, w1, b1, w2, b2, w3, b3, (H, W, C),
+                                   h_tile=geom[0], interpret=interpret)
+    return from_chain_layout(out, (H, W, C), 1)
 
 
 def bottleneck_reference(x, w1, b1, w2, b2, w3, b3):

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from quantv2x_tpu.models.layers import BasicBlock, Bottleneck
-from quantv2x_tpu.ops.fused_block import fused_basic_block, fused_bottleneck
 from quantv2x_tpu.quant import ptq as ptq_mod
 from quantv2x_tpu.quant.int8_engine import fold_conv_bn
 
@@ -165,46 +164,73 @@ def make_fused_apply(model, tables, h_tile: int = 16,
     """fused_apply(variables, batch, ...) with BasicBlocks on the Pallas
     kernel. Tables are closed over; variables still feed the unfused rest."""
 
-    def interceptor(next_fn, args, kwargs, context):
-        module = context.module
-        if (
-            context.method_name == "__call__"
-            and isinstance(module, (BasicBlock, Bottleneck))
-            and isinstance(args[0], jax.Array)
-        ):
+    from quantv2x_tpu.ops import fused_block as fb
+
+    def make_interceptor(pad_cache):
+        """Blocks hand their chain-layout (padded) output to the next
+        fused block via ``pad_cache`` (id(returned tracer) -> padded
+        buffer). When block k+1 finds its input in the cache, it consumes
+        the padded buffer directly and XLA dead-code-eliminates block k's
+        slice and block k+1's pad — on a BW-bound device those per-block
+        HBM copies cost more than the convolutions at C=64 (lane padding
+        doubles the bytes). Entries hold a strong ref to the returned
+        tracer so ids stay unique for the duration of one trace."""
+
+        def interceptor(next_fn, args, kwargs, context):
+            module = context.module
+            if not (
+                context.method_name == "__call__"
+                and isinstance(module, (BasicBlock, Bottleneck))
+                and isinstance(args[0], jax.Array)
+            ):
+                return next_fn(*args, **kwargs)
             path_s = ptq_mod._path_str(module.path)
             t = tables.get(path_s)
             x = args[0]
             cin = (t[1].shape[2] if t is not None and t[0] == "basic"
                    else t[1].shape[0] if t is not None else None)
-            if t is not None and x.shape[-1] == cin:
-                kind, *ws = t
-                x4 = x[None] if x.ndim == 3 else x
-                shp = x4.shape
-                if x4.ndim > 4:
-                    x4 = x4.reshape((-1,) + shp[-3:])
-                if kind == "basic":
-                    w1, b1, w2, b2 = ws
-                    y = fused_basic_block(
-                        x4.astype(w1.dtype), w1, b1, w2, b2,
-                        h_tile=min(h_tile, x4.shape[1]),
-                        interpret=interpret)
-                else:
-                    w1, b1, w2, b2, w3, b3 = ws
-                    y = fused_bottleneck(
-                        x4.astype(w1.dtype), w1, b1, w2, b2, w3, b3,
-                        h_tile=min(h_tile, x4.shape[1]),
-                        interpret=interpret)
-                if x.ndim == 3:
-                    y = y[0]
-                elif len(shp) > 4:
-                    y = y.reshape(shp[:-3] + y.shape[-3:])
-                return y.astype(x.dtype)
-        return next_fn(*args, **kwargs)
+            if t is None or x.shape[-1] != cin:
+                return next_fn(*args, **kwargs)
+            kind, *ws = t
+            x4 = x[None] if x.ndim == 3 else x
+            shp = x4.shape
+            if x4.ndim > 4:
+                x4 = x4.reshape((-1,) + shp[-3:])
+            if kind == "basic":
+                w1, b1, w2, b2 = ws
+                halo, cmid = 2, w1.shape[3]
+            else:
+                w1, b1, w2, b2, w3, b3 = ws
+                halo, cmid = 1, w1.shape[1]
+            N, H, W, C = x4.shape
+            geom = fb.chain_geometry(H, W, C, cmid, min(h_tile, H),
+                                     halo, interpret)
+            ent = pad_cache.get(id(x4))
+            if ent is not None and ent[1] == (geom, halo, w1.dtype):
+                xp = ent[0]
+            else:
+                xp = fb.to_chain_layout(x4.astype(w1.dtype), geom, halo)
+            if kind == "basic":
+                yp = fb.fused_basic_block_chained(
+                    xp, w1, b1, w2, b2, (H, W, C), h_tile=geom[0],
+                    interpret=interpret)
+            else:
+                yp = fb.fused_bottleneck_chained(
+                    xp, w1, b1, w2, b2, w3, b3, (H, W, C),
+                    h_tile=geom[0], interpret=interpret)
+            y = fb.from_chain_layout(yp, (H, W, C), halo).astype(x.dtype)
+            if x.ndim == 3:
+                return y[0]
+            if len(shp) > 4:
+                return y.reshape(shp[:-3] + y.shape[-3:])
+            pad_cache[id(y)] = (yp, (geom, halo, w1.dtype), y)
+            return y
+
+        return interceptor
 
     def fused_apply(variables, *args, train: bool = False, method=None,
                     **kwargs):
-        with nn.intercept_methods(interceptor):
+        with nn.intercept_methods(make_interceptor({})):
             if method is None:
                 return model.apply(variables, *args, train=False, **kwargs)
             return model.apply(variables, *args, train=False,

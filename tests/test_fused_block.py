@@ -124,3 +124,52 @@ class TestFusedBottleneck:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             rtol=0.1, atol=0.05)
+
+
+class TestChainLayout:
+    """Chain-layout invariants: identical in/out layout, zeroed padding."""
+
+    def test_chained_stack_matches_standalone(self):
+        from quantv2x_tpu.ops.fused_block import (
+            chain_geometry, from_chain_layout, fused_basic_block,
+            fused_basic_block_chained, to_chain_layout)
+        rng = np.random.default_rng(0)
+        N, H, W, C = 2, 11, 13, 8
+        x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+        ws = [tuple(jnp.asarray(rng.normal(0, 0.1, s).astype(np.float32))
+                    for s in ((3, 3, C, C), (C,), (3, 3, C, C), (C,)))
+              for _ in range(3)]
+        # standalone: pad+slice per block
+        y_ref = x
+        for w1, b1, w2, b2 in ws:
+            y_ref = fused_basic_block(y_ref, w1, b1, w2, b2, h_tile=4,
+                                      interpret=True)
+        # chained: one pad, three kernels, one slice
+        geom = chain_geometry(H, W, C, C, 4, 2, True)
+        xp = to_chain_layout(x, geom, 2)
+        for w1, b1, w2, b2 in ws:
+            xp = fused_basic_block_chained(xp, w1, b1, w2, b2, (H, W, C),
+                                           h_tile=geom[0], interpret=True)
+        y = from_chain_layout(xp, (H, W, C), 2)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_padded_region_stays_zero(self):
+        from quantv2x_tpu.ops.fused_block import (
+            chain_geometry, fused_bottleneck_chained, to_chain_layout)
+        rng = np.random.default_rng(1)
+        N, H, W, C, Wd = 1, 10, 12, 8, 16
+        x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+        a = lambda s: jnp.asarray(
+            rng.normal(0, 0.1, s).astype(np.float32))
+        # positive biases would leak into the padding if unmasked
+        args = (a((C, Wd)), jnp.abs(a((Wd,))) + 1, a((3, 3, Wd, Wd)),
+                jnp.abs(a((Wd,))) + 1, a((Wd, C)), jnp.abs(a((C,))) + 1)
+        geom = chain_geometry(H, W, C, Wd, 4, 1, True)
+        xp = to_chain_layout(x, geom, 1)
+        yp = fused_bottleneck_chained(xp, *args, (H, W, C),
+                                      h_tile=geom[0], interpret=True)
+        yp = np.asarray(yp)
+        mask = np.zeros(yp.shape, bool)
+        mask[:, 1:1 + H, 1:1 + W, :C] = True
+        assert np.all(yp[~mask] == 0.0), "halo/padding region not zeroed"
