@@ -293,17 +293,39 @@ def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
               (col < w_img)).astype(jnp.float32)
     h1 = (h1 * inside).astype(xs.dtype)
 
-    # conv2 (3x3, block-diagonal dense): out[r, u] at image
-    # (i*h_tile + r, col u) needs h1[r + dy, u + dx]
-    acc2 = jnp.zeros((h_tile, w_t, width), jnp.float32)
-    for dy in range(3):
-        rows = h1[dy:dy + h_tile]
-        for dx in range(3):
-            acc2 = acc2 + jax.lax.dot_general(
-                roll(rows, dx), w2_ref[dy, dx],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    # conv2 (3x3, grouped): out[r, u] at image (i*h_tile + r, col u) needs
+    # h1[r + dy, u + dx]. Two weight formats:
+    #   - (3, 3, Wd, Wd) block-diagonal dense — one full-width dot/tap;
+    #   - (3, 3, S, 128, 128) supergroup blocks — the G=32 tiny groups
+    #     packed 8-per-128-lane MXU tile; only the (structurally nonzero)
+    #     diagonal supergroup blocks are multiplied, cutting the dense-
+    #     ification FLOP waste by Wd/128 with bit-identical results.
+    supergrouped = len(w2_ref.shape) == 5
+    if supergrouped:
+        S = w2_ref.shape[2]
+        parts = []
+        for s in range(S):
+            acc_s = jnp.zeros((h_tile, w_t, 128), jnp.float32)
+            for dy in range(3):
+                rows = h1[dy:dy + h_tile, :, s * 128:(s + 1) * 128]
+                for dx in range(3):
+                    acc_s = acc_s + jax.lax.dot_general(
+                        roll(rows, dx), w2_ref[dy, dx, s],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            parts.append(acc_s)
+        acc2 = jnp.concatenate(parts, axis=-1)
+    else:
+        acc2 = jnp.zeros((h_tile, w_t, width), jnp.float32)
+        for dy in range(3):
+            rows = h1[dy:dy + h_tile]
+            for dx in range(3):
+                acc2 = acc2 + jax.lax.dot_general(
+                    roll(rows, dx), w2_ref[dy, dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
     h2 = jnp.maximum(acc2 + b2_ref[:].astype(jnp.float32),
                      0.0).astype(xs.dtype)
 
@@ -357,7 +379,14 @@ def fused_bottleneck_chained(xp, w1, b1, w2, b2, w3, b3, hwc,
     ngrid = (R - 2) // h_tile
     w1p = jnp.pad(w1, ((0, Cp - C), (0, Wd - width)))
     b1p = jnp.pad(b1, (0, Wd - width))
-    w2p = jnp.pad(w2, ((0, 0), (0, 0), (0, Wd - width), (0, Wd - width)))
+    if w2.ndim == 5:
+        # supergroup block format (3, 3, S, 128, 128): width is already
+        # 128-aligned by construction (engine only emits it then)
+        assert width == Wd == w2.shape[2] * 128, "supergroups need 128-mult"
+        w2p = w2
+    else:
+        w2p = jnp.pad(w2, ((0, 0), (0, 0), (0, Wd - width),
+                           (0, Wd - width)))
     b2p = jnp.pad(b2, (0, Wd - width))
     w3p = jnp.pad(w3, ((0, Wd - width), (0, Cp - C)))
     b3p = jnp.pad(b3, (0, Cp - C))

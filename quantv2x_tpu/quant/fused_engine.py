@@ -48,6 +48,25 @@ def grouped_to_blockdiag(kernel, groups: int):
         jnp.broadcast_to(o_idx[None, :], row_idx.shape)].set(kernel)
 
 
+def grouped_to_superblocks(kernel, groups: int):
+    """(kh, kw, cpg, out) square grouped-conv kernel -> (kh, kw, S, 128,
+    128) supergroup diagonal blocks: groups packed 128-lanes-at-a-time.
+
+    The dense-ification of a 32-group conv wastes out/128 x the FLOPs on
+    structurally-zero off-diagonal blocks; keeping only the S = out/128
+    diagonal 128x128 blocks gives full MXU tiles AND minimal FLOPs —
+    bit-identical to the grouped conv. Requires cin == out, out % 128 == 0
+    and 128 % cpg == 0 (group boundaries then align to lane tiles)."""
+    kh, kw, cpg, out = kernel.shape
+    assert cpg * groups == out and out % 128 == 0 and 128 % cpg == 0
+    S = out // 128
+    dense = grouped_to_blockdiag(kernel, groups)
+    blocks = dense.reshape(kh, kw, S, 128, S, 128)
+    idx = jnp.arange(S)
+    diag = blocks[:, :, idx, :, idx, :]      # (S, kh, kw, 128, 128)
+    return jnp.transpose(diag, (1, 2, 0, 3, 4))
+
+
 def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
     """{block_path: (w1, b1, w2, b2)} for every fusable BasicBlock.
 
@@ -139,8 +158,12 @@ def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
                     k2, None,
                     s["c2"]["bn"]["scale"], s["c2"]["bn"]["bias"],
                     s["s2"]["mean"], s["s2"]["var"])
-                groups = w2g.shape[3] // w2g.shape[2]
-                if groups > 1:
+                cpg, out_ch = w2g.shape[2], w2g.shape[3]
+                groups = out_ch // cpg
+                if (groups > 1 and out_ch % 128 == 0
+                        and 128 % cpg == 0):
+                    w2 = grouped_to_superblocks(w2g, groups)
+                elif groups > 1:
                     w2 = grouped_to_blockdiag(w2g, groups)
                 else:
                     w2 = w2g

@@ -96,3 +96,44 @@ def test_bottleneck_engine_matches_stock_eval():
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_superblocks_match_blockdiag_dense():
+    """Supergroup-packed grouped conv == block-diagonal dense (bit-equal),
+    both through the fused bottleneck kernel and vs the XLA reference."""
+    from quantv2x_tpu.ops.fused_block import (
+        bottleneck_reference,
+        fused_bottleneck,
+    )
+    from quantv2x_tpu.quant.fused_engine import (
+        grouped_to_blockdiag,
+        grouped_to_superblocks,
+    )
+
+    rng = np.random.default_rng(7)
+    C, width, groups = 8, 256, 16         # cpg = 16 divides 128; S = 2
+    cpg = width // groups
+    a = lambda s: jnp.asarray(rng.normal(0, 0.1, s).astype(np.float32))
+    kg = a((3, 3, cpg, width))
+    dense = grouped_to_blockdiag(kg, groups)
+    sb = grouped_to_superblocks(kg, groups)
+    assert sb.shape == (3, 3, 2, 128, 128)
+    # the dense form must round-trip through the superblocks exactly
+    rebuilt = np.zeros_like(np.asarray(dense))
+    for s in range(2):
+        rebuilt[:, :, s * 128:(s + 1) * 128, s * 128:(s + 1) * 128] = \
+            np.asarray(sb[:, :, s])
+    np.testing.assert_array_equal(rebuilt, np.asarray(dense))
+
+    x = a((1, 8, 9, C))
+    w1, b1, b2 = a((C, width)), a((width,)), a((width,))
+    w3, b3 = a((width, C)), a((C,))
+    ref = bottleneck_reference(x, w1, b1, dense, b2, w3, b3)
+    got_dense = fused_bottleneck(x, w1, b1, dense, b2, w3, b3,
+                                 h_tile=4, interpret=True)
+    got_sb = fused_bottleneck(x, w1, b1, sb, b2, w3, b3,
+                              h_tile=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_dense), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_sb), np.asarray(got_dense),
+                               rtol=1e-6, atol=1e-6)
