@@ -197,19 +197,31 @@ class ResNetModified(nn.Module):
     base_width: int = 4
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        outs = []
+    def setup(self):
+        # setup-style (not compact) so the blocks are NAMED children: the
+        # fused inference engine (quant/fused_engine) orchestrates whole
+        # stages and needs to address individual blocks
+        blocks = []
         for i, (n, s, f) in enumerate(
             zip(self.layer_nums, self.layer_strides, self.num_filters)
         ):
+            stage = []
             for b in range(n):
                 cls = BasicBlock if self.block == "basic" else Bottleneck
                 kwargs = dict(planes=f, stride=s if b == 0 else 1,
                               dtype=self.dtype, name=f"layer{i}_block{b}")
                 if self.block == "bottleneck":
-                    kwargs.update(groups=self.groups, base_width=self.base_width)
-                x = cls(**kwargs)(x, train)
+                    kwargs.update(groups=self.groups,
+                                  base_width=self.base_width)
+                stage.append(cls(**kwargs))
+            blocks.append(tuple(stage))
+        self.stages = tuple(blocks)
+
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for stage in self.stages:
+            for blk in stage:
+                x = blk(x, train)
             outs.append(x)
         return tuple(outs)
 
