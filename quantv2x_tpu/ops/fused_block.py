@@ -463,3 +463,229 @@ def basic_block_reference(x, w1, b1, w2, b2):
     y = jax.lax.conv_general_dilated(h, w2, (1, 1), "SAME",
                                      dimension_numbers=dn)
     return jax.nn.relu(y + b2 + x)
+
+
+# ---------------------------------------------------------------------------
+# Multi-block stage kernels: a run of K same-shape residual blocks in ONE
+# pallas call. Intermediates never touch HBM and the per-kernel dispatch
+# cost (significant on the tunneled backend) is paid once per run instead
+# of once per block. Halo = K * radius; each block consumes `radius` rows
+# top+bottom of the in-flight tile and the column layout is kept invariant
+# by rolling every block's result back (as in the single-block kernels).
+# ---------------------------------------------------------------------------
+
+def _stack_kernel(x_hbm, *refs, th, w_t, w_img, h_img, K, radius,
+                  widths, r_rows, interpret):
+    """Shared multi-block kernel body. refs layout:
+    [per-block weight refs...] + [out_hbm, xs, ys, zs, sem_in, sem_out,
+    sem_z]; per-block refs are 4 (basic: w1,b1,w2,b2) or 6 (bottleneck:
+    w1,b1,w2,b2,w3,b3) entries, selected by ``radius`` (2=basic,
+    1=bottleneck)."""
+    per = 4 if radius == 2 else 6
+    wrefs = refs[:K * per]
+    out_hbm, xs, ys, zs, sem_in, sem_out, sem_z = refs[K * per:]
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    ngrid = pl.num_programs(1)
+    halo = K * radius
+    roll = functools.partial(_roll_cols, w_t=w_t, interpret=interpret)
+
+    dma_in = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(i * th, th + 2 * halo)], xs, sem_in)
+    dma_in.start()
+    dma_in.wait()
+
+    cur = xs[:]                       # rows: buffer [i*th, i*th + th+2*halo)
+    off = 0                           # rows consumed at the top so far
+    for j in range(K):
+        rows_in = th + 2 * halo - 2 * radius * j
+        rows_out = rows_in - 2 * radius
+        # image row of cur[r] = i*th - halo + off + r; lane l <-> col l-halo
+        if radius == 1:
+            w1r, b1r, w2r, b2r, w3r, b3r = wrefs[j * per:(j + 1) * per]
+            acc1 = jax.lax.dot_general(
+                cur, w1r[:],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            h1 = jnp.maximum(acc1 + b1r[:].astype(jnp.float32), 0.0)
+            row = (i * th - halo + off
+                   + jax.lax.broadcasted_iota(jnp.int32,
+                                              (rows_in, w_t, 1), 0))
+            col = (jax.lax.broadcasted_iota(jnp.int32,
+                                            (rows_in, w_t, 1), 1) - halo)
+            inside = ((row >= 0) & (row < h_img) & (col >= 0) &
+                      (col < w_img)).astype(jnp.float32)
+            h1 = (h1 * inside).astype(xs.dtype)
+            wd = widths[j]
+            acc2 = jnp.zeros((rows_out, w_t, wd), jnp.float32)
+            if len(w2r.shape) == 5:
+                S = w2r.shape[2]
+                parts = []
+                for s in range(S):
+                    acc_s = jnp.zeros((rows_out, w_t, 128), jnp.float32)
+                    for dy in range(3):
+                        rows = h1[dy:dy + rows_out, :,
+                                  s * 128:(s + 1) * 128]
+                        for dx in range(3):
+                            acc_s = acc_s + jax.lax.dot_general(
+                                roll(rows, dx - 1), w2r[dy, dx, s],
+                                dimension_numbers=(((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                    parts.append(acc_s)
+                acc2 = jnp.concatenate(parts, axis=-1)
+            else:
+                for dy in range(3):
+                    rows = h1[dy:dy + rows_out]
+                    for dx in range(3):
+                        acc2 = acc2 + jax.lax.dot_general(
+                            roll(rows, dx - 1), w2r[dy, dx],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+            h2 = jnp.maximum(acc2 + b2r[:].astype(jnp.float32),
+                             0.0).astype(xs.dtype)
+            acc3 = jax.lax.dot_general(
+                h2, w3r[:],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = acc3 + b3r[:].astype(jnp.float32)
+            residual = cur[1:1 + rows_out].astype(jnp.float32)
+            y = jnp.maximum(y + residual, 0.0)
+        else:
+            w1r, b1r, w2r, b2r = wrefs[j * per:(j + 1) * per]
+            cmid = widths[j]
+            H1 = rows_in - 2
+            acc1 = jnp.zeros((H1, w_t, cmid), jnp.float32)
+            for dy in range(3):
+                rows = cur[dy:dy + H1]
+                for dx in range(3):
+                    acc1 = acc1 + jax.lax.dot_general(
+                        roll(rows, dx - 1), w1r[dy, dx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            h1 = jnp.maximum(acc1 + b1r[:].astype(jnp.float32), 0.0)
+            row = (i * th - halo + off + 1
+                   + jax.lax.broadcasted_iota(jnp.int32, (H1, w_t, 1), 0))
+            col = (jax.lax.broadcasted_iota(jnp.int32,
+                                            (H1, w_t, 1), 1) - halo)
+            inside = ((row >= 0) & (row < h_img) & (col >= 0) &
+                      (col < w_img)).astype(jnp.float32)
+            h1 = (h1 * inside).astype(xs.dtype)
+            acc2 = jnp.zeros((rows_out, w_t, cur.shape[-1]), jnp.float32)
+            for dy in range(3):
+                rows = h1[dy:dy + rows_out]
+                for dx in range(3):
+                    acc2 = acc2 + jax.lax.dot_general(
+                        roll(rows, dx - 1), w2r[dy, dx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            y = acc2 + b2r[:].astype(jnp.float32)
+            residual = cur[2:2 + rows_out].astype(jnp.float32)
+            y = jnp.maximum(y + residual, 0.0)
+        # zero outside-image so the invariant holds for the next block
+        orow = (i * th - halo + off + radius
+                + jax.lax.broadcasted_iota(jnp.int32,
+                                           (rows_out, w_t, 1), 0))
+        ocol = (jax.lax.broadcasted_iota(jnp.int32,
+                                         (rows_out, w_t, 1), 1) - halo)
+        out_inside = ((orow >= 0) & (orow < h_img) & (ocol >= 0) &
+                      (ocol < w_img)).astype(jnp.float32)
+        cur = (y * out_inside).astype(xs.dtype)
+        off += radius
+
+    ys[:] = cur
+    dma_out = pltpu.make_async_copy(
+        ys, out_hbm.at[n, pl.ds(halo + i * th, th)], sem_out)
+    dma_out.start()
+    dma_out.wait()
+
+    zs[:] = jnp.zeros(zs.shape, zs.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        d = pltpu.make_async_copy(zs, out_hbm.at[n, pl.ds(0, halo)], sem_z)
+        d.start()
+        d.wait()
+
+    @pl.when(i == ngrid - 1)
+    def _():
+        d = pltpu.make_async_copy(
+            zs, out_hbm.at[n, pl.ds(r_rows - halo, halo)], sem_z)
+        d.start()
+        d.wait()
+
+
+def _stack_vmem_bytes(th, Wt, Cp, widths, radius, itemsize=2):
+    halo = max(len(widths), 1) * radius
+    rows = th + 2 * halo
+    acts = rows * Wt * (Cp * itemsize            # xs
+                        + max(widths) * (4 + itemsize) * 2   # acc/h1/h2
+                        + Cp * 4 + Cp * itemsize)            # y + ys
+    weights = sum((9 * w * min(w, 128) if radius == 1 else 9 * Cp * w * 2)
+                  * itemsize + (2 * Cp * w * itemsize if radius == 1 else 0)
+                  for w in widths)
+    return acts + weights
+
+
+def fused_stack_chained(xp, blocks, hwc, radius, h_tile: int = 16,
+                        interpret: bool = False):
+    """Run K chained residual blocks in one kernel.
+
+    xp: (N, R, Wt, Cp) chain layout with the image at (halo, halo),
+    halo = K * radius; blocks: tuple of weight tuples — (w1, b1, w2, b2)
+    for BasicBlocks (radius=2), (w1, b1, w2, b2, w3, b3) for Bottlenecks
+    (radius=1, w2 dense block-diagonal or supergrouped (3,3,S,128,128)).
+    Returns the same layout.
+    """
+    H, W, C = hwc
+    N, R, Wt, Cp = xp.shape
+    K = len(blocks)
+    halo = K * radius
+    ngrid = (R - 2 * halo) // h_tile
+    widths = []
+    flat = []
+    for blk in blocks:
+        if radius == 1:
+            w1, b1, w2, b2, w3, b3 = blk
+            width = w1.shape[1]
+            Wd = (-(-width // 128) * 128
+                  if (not interpret and w2.ndim != 5) else width)
+            w1 = jnp.pad(w1, ((0, Cp - C), (0, Wd - width)))
+            b1 = jnp.pad(b1, (0, Wd - width))
+            if w2.ndim != 5:
+                w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, Wd - width),
+                                  (0, Wd - width)))
+            b2 = jnp.pad(b2, (0, Wd - width))
+            w3 = jnp.pad(w3, ((0, Wd - width), (0, Cp - C)))
+            b3 = jnp.pad(b3, (0, Cp - C))
+            widths.append(Wd)
+            flat += [w1, b1, w2, b2, w3, b3]
+        else:
+            w1, b1, w2, b2 = blk
+            cmid = w1.shape[3]
+            w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+            w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
+            b2 = jnp.pad(b2, (0, Cp - C))
+            widths.append(cmid)
+            flat += [w1, b1, w2, b2]
+
+    out = pl.pallas_call(
+        functools.partial(_stack_kernel, th=h_tile, w_t=Wt, w_img=W,
+                          h_img=H, K=K, radius=radius,
+                          widths=tuple(widths), r_rows=R,
+                          interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((N, R, Wt, Cp), xp.dtype),
+        grid=(N, ngrid),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(flat),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((h_tile + 2 * halo, Wt, Cp), xp.dtype),
+            pltpu.VMEM((h_tile, Wt, Cp), xp.dtype),
+            pltpu.VMEM((halo, Wt, Cp), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, *flat)
+    return out

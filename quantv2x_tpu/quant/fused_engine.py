@@ -187,7 +187,77 @@ def make_fused_apply(model, tables, h_tile: int = 16,
     """fused_apply(variables, batch, ...) with BasicBlocks on the Pallas
     kernel. Tables are closed over; variables still feed the unfused rest."""
 
+    from quantv2x_tpu.models.layers import ResNetModified
     from quantv2x_tpu.ops import fused_block as fb
+
+    def _table_matches(t, x):
+        if t is None:
+            return False
+        cin = t[1].shape[2] if t[0] == "basic" else t[1].shape[0]
+        return x.shape[-1] == cin
+
+    def _run_stack(x, run):
+        """Run a list of same-kind block tables as multi-block kernels
+        (splitting on the VMEM budget). One pad + one slice per kernel
+        call instead of per block, and one kernel dispatch per run —
+        dispatch overhead is significant on the tunneled backend."""
+        kind = run[0][0]
+        radius = 2 if kind == "basic" else 1
+        while run:
+            N, H, W, C = x.shape
+            K = len(run)
+            th = 0
+            while K >= 1:
+                widths = [
+                    (t[1].shape[3] if kind == "basic" else t[1].shape[1])
+                    for t in run[:K]
+                ]
+                halo = K * radius
+                Wt = -(-(W + 2 * halo) // 8) * 8
+                Cp = (-(-C // 128) * 128) if not interpret else C
+                th = min(h_tile, max(4, H))
+                while th > 4 and fb._stack_vmem_bytes(
+                        th, Wt, Cp, widths, radius) > fb._VMEM_BUDGET:
+                    th //= 2
+                if fb._stack_vmem_bytes(th, Wt, Cp, widths,
+                                        radius) <= fb._VMEM_BUDGET:
+                    break
+                K -= 1
+            K = max(K, 1)
+            halo = K * radius
+            Wt = -(-(W + 2 * halo) // 8) * 8
+            Cp = (-(-C // 128) * 128) if not interpret else C
+            ngrid = -(-H // th)
+            R = ngrid * th + 2 * halo
+            dt = run[0][1].dtype
+            xp = fb.to_chain_layout(x.astype(dt), (th, R, Wt, Cp), halo)
+            yp = fb.fused_stack_chained(
+                xp, tuple(tuple(t[1:]) for t in run[:K]), (H, W, C),
+                radius, h_tile=th, interpret=interpret)
+            x = fb.from_chain_layout(yp, (H, W, C), halo).astype(x.dtype)
+            run = run[K:]
+        return x
+
+    def _run_resnet_stages(module, x):
+        """Stage-level orchestration of a ResNetModified: consecutive
+        fusable blocks run as one multi-block kernel; strided/downsample
+        blocks fall through to the stock module call."""
+        outs = []
+        for stage in module.stages:
+            pending = []
+            for blk in stage:
+                t = tables.get(ptq_mod._path_str(blk.path))
+                if _table_matches(t, x):
+                    pending.append(t)
+                else:
+                    if pending:
+                        x = _run_stack(x, pending)
+                        pending = []
+                    x = blk(x, False)
+            if pending:
+                x = _run_stack(x, pending)
+            outs.append(x)
+        return tuple(outs)
 
     def make_interceptor(pad_cache):
         """Blocks hand their chain-layout (padded) output to the next
@@ -201,6 +271,17 @@ def make_fused_apply(model, tables, h_tile: int = 16,
 
         def interceptor(next_fn, args, kwargs, context):
             module = context.module
+            if (
+                context.method_name == "__call__"
+                and isinstance(module, ResNetModified)
+                and isinstance(args[0], jax.Array)
+                and args[0].ndim == 4
+                and not kwargs.get("train",
+                                   args[1] if len(args) > 1 else False)
+                and any(tables.get(ptq_mod._path_str(b.path)) is not None
+                        for st in module.stages for b in st)
+            ):
+                return _run_resnet_stages(module, args[0])
             if not (
                 context.method_name == "__call__"
                 and isinstance(module, (BasicBlock, Bottleneck))
