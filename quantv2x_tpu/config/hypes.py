@@ -117,6 +117,7 @@ def build_hypes(raw: Dict[str, Any]) -> Hypes:
         pyramid_up_filters=tuple(fb.get("num_upsample_filter", [128, 128, 128])),
         shrink_dim=m.get("shrink_header", {}).get("dim", [256])[0],
         pyramid_block="bottleneck" if fb.get("resnext", True) else "basic",
+        proj_first=fb.get("proj_first", False),
         max_cav=raw.get("train_params", {}).get("max_cav", 4),
         uncertainty_dim=m.get("uncertainty_dim", 0),
         dtype=m.get("dtype", "float32"),

@@ -24,7 +24,7 @@ from quantv2x_tpu.data.voxelizer import VoxelCfg
 from quantv2x_tpu.models.bev_backbone import ResNetBEVBackbone
 from quantv2x_tpu.models.layers import ConvBNReLU
 from quantv2x_tpu.models.pillar_encoder import PillarVFE, scatter_to_bev
-from quantv2x_tpu.models.pyramid_fusion import PyramidFusion
+from quantv2x_tpu.models.pyramid_fusion import PyramidFusion, project_to_ego
 from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
 
 
@@ -51,6 +51,11 @@ class ModelCfg:
     # feeds the 128x128 MXU 4-channel groups; "basic" = dense 3x3 blocks
     # (the reference's resnext:false path) — much better MXU utilization
     pyramid_block: str = "bottleneck"
+    # warp agent features into the ego frame once BEFORE the pyramid
+    # (reference proj_first / pyramid_fuse_onnx deployment mode) instead of
+    # per pyramid level: 3x fewer warp gather bytes; fusion keeps validity
+    # via a warped FOV mask (see pyramid_fusion.project_to_ego)
+    proj_first: bool = False
 
     @property
     def jnp_dtype(self):
@@ -165,8 +170,14 @@ class PyramidCollabModel(nn.Module):
         affine = normalize_pairwise_tfm(
             batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0]
         )
+        fov_mask = None
+        if c.proj_first:
+            agent_feats, fov_mask = project_to_ego(
+                agent_feats, affine[:, 0], self.pyramid.align_corners
+            )
         fused, occ_maps = self.pyramid.forward_collab(
-            agent_feats, batch["agent_mask"], affine, train
+            agent_feats, batch["agent_mask"], affine, train,
+            fov_mask=fov_mask,
         )
         fused = self.shrink(fused)
         preds = self.heads(fused)

@@ -30,7 +30,7 @@ from quantv2x_tpu.models.collab_model import (
 )
 from quantv2x_tpu.models.layers import ConvBNReLU
 from quantv2x_tpu.models.pillar_encoder import PillarVFE, scatter_to_bev
-from quantv2x_tpu.models.pyramid_fusion import PyramidFusion
+from quantv2x_tpu.models.pyramid_fusion import PyramidFusion, project_to_ego
 from quantv2x_tpu.models.second_encoder import SECONDEncoder, SecondCfg
 from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
 
@@ -231,8 +231,14 @@ class HeterCollabModel(nn.Module):
             batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0]
         )
         if self.fusion_method == "pyramid":
+            fov_mask = None
+            if c.proj_first:
+                agent_feats, fov_mask = project_to_ego(
+                    agent_feats, affine[:, 0], self.pyramid.align_corners
+                )
             fused, occ_maps = self.pyramid.forward_collab(
-                agent_feats, batch["agent_mask"], affine, train
+                agent_feats, batch["agent_mask"], affine, train,
+                fov_mask=fov_mask,
             )
         else:
             fused = self.fusion(agent_feats, batch["agent_mask"], affine,

@@ -23,6 +23,44 @@ from quantv2x_tpu.models.bev_backbone import ResNetBEVBackbone
 from quantv2x_tpu.ops.warp_affine import warp_affine_batch
 
 
+def project_to_ego(feats, affine_ego, align_corners=False):
+    """Warp (B, L, h, w, C) agent features into the ego frame ONCE, before
+    the pyramid — the reference's proj_first deployment mode
+    (fuse_modules/pyramid_fuse_onnx.py:64-67: features pre-warped, fusion
+    warp-free; selected at heter_pyramid_collab_mc.py:101). Cuts warp
+    gather bytes 3x vs per-level warping (each pyramid level carries equal
+    bytes). A warped ones-channel rides along so out-of-FOV collaborator
+    pixels can still be masked during fusion — validity information the
+    reference's proj_first path simply drops.
+
+    affine_ego: (B, L, 2, 3) ego row of the normalized pairwise matrix.
+    Returns (feats_ego, fov_mask) with fov_mask (B, L, h, w, 1) bool.
+    """
+    B, L, h, w, C = feats.shape
+    ones = jnp.ones((B, L, h, w, 1), feats.dtype)
+    both = jnp.concatenate([feats, ones], axis=-1)
+
+    def one_batch(bb, tt):
+        warped = warp_affine_batch(bb[1:], tt[1:], align_corners)
+        return jnp.concatenate([bb[:1], warped], axis=0)
+
+    both = jax.vmap(one_batch)(both, affine_ego)
+    return both[..., :C], both[..., C:] > 0.5
+
+
+def weighted_fuse_ego(feats, scores, agent_mask, fov_mask):
+    """weighted_fuse for features already in the ego frame (proj_first).
+
+    feats: (L, h, w, C); scores: (L, h, w, 1); agent_mask: (L,) bool;
+    fov_mask: (L, h, w, 1) bool — warped field-of-view validity.
+    """
+    valid = fov_mask & agent_mask[:, None, None, None]
+    logits = jnp.where(valid, scores.astype(feats.dtype), -jnp.inf)
+    weights = jax.nn.softmax(logits, axis=0)
+    weights = jnp.where(jnp.isfinite(weights), weights, 0.0)
+    return (feats * weights).sum(axis=0)
+
+
 def weighted_fuse(feats, scores, agent_mask, affine_ego, align_corners=False):
     """Fuse one pyramid level across agents.
 
@@ -74,10 +112,15 @@ class PyramidFusion(ResNetBEVBackbone):
         occ = [self.single_heads[i](feats[i]) for i in range(len(feats))]
         return self.decode(feats, train), occ
 
-    def forward_collab(self, x, agent_mask, affine_matrix, train: bool = False):
+    def forward_collab(self, x, agent_mask, affine_matrix, train: bool = False,
+                       fov_mask=None):
         """x: (B, L, H, W, C); agent_mask: (B, L);
         affine_matrix: (B, L, L, 2, 3) normalized pairwise affines
         (affine_matrix[b, i, j] = theta_{j<-i}).
+
+        fov_mask not None means x is already in the ego frame (proj_first:
+        warped once by project_to_ego) — fusion is then warp-free and
+        fov_mask (B, L, H, W, 1) gates out-of-FOV collaborator pixels.
 
         Returns (fused (B, h, w, C'), occ list of (B, L, hi, wi, 1))."""
         B, L, H, W, C = x.shape
@@ -86,16 +129,22 @@ class PyramidFusion(ResNetBEVBackbone):
         occ_maps = []
         fused_levels = []
         theta_ego = affine_matrix[:, 0]  # (B, L, 2, 3): ego row -> each agent
+        stride = 1
         for i, f in enumerate(feats):
             occ = self.single_heads[i](f)                 # (B*L, hi, wi, 1)
             occ_maps.append(occ.reshape(B, L, *occ.shape[1:]))
             score = jax.nn.sigmoid(occ) + 1e-4
             fl = f.reshape(B, L, *f.shape[1:])
             sl = score.reshape(B, L, *score.shape[1:])
-            fused = jax.vmap(
-                lambda fb, sb, mb, tb: weighted_fuse(
-                    fb, sb, mb, tb, self.align_corners
-                )
-            )(fl, sl, agent_mask, theta_ego)
+            stride *= self.layer_strides[i]
+            if fov_mask is not None:
+                fm = fov_mask[:, :, ::stride, ::stride]
+                fused = jax.vmap(weighted_fuse_ego)(fl, sl, agent_mask, fm)
+            else:
+                fused = jax.vmap(
+                    lambda fb, sb, mb, tb: weighted_fuse(
+                        fb, sb, mb, tb, self.align_corners
+                    )
+                )(fl, sl, agent_mask, theta_ego)
             fused_levels.append(fused)
         return self.decode(tuple(fused_levels), train), occ_maps
