@@ -1,0 +1,139 @@
+"""SPMD cooperative-perception serving: codebook codes on the ICI wire.
+
+The BASELINE north star maps the V2X topology onto a TPU slice: each
+agent's encoder runs on its own chip, and what crosses chips is the
+*codebook-compressed* message — integer codes, not raw BEV features —
+mirroring how the reference's agents exchange compressed features over
+the (simulated) V2X channel (models/heter_pyramid_collab_codebook_mc_
+encdec.py:33-181: encode_features on the transmit side, decode_features
+on the receive side).
+
+A plain `jit` over the collab model would let GSPMD all-gather the
+*decompressed* bf16 features at the fusion point (C=64 x 2 bytes/px).
+This module uses `shard_map` to pin the communication point: the
+all-gather runs on the int32 code tensor (levels x seg_num codes/px,
+48 bits at default M=2, K=256 — 42.7x fewer wire bytes than fp32, 21x
+fewer than bf16), and every chip decodes + fuses the gathered codes
+replicated, exactly like every real V2X agent decodes the messages it
+receives.
+
+Also provides `serve_stream`, the continuous-batching loop: JAX async
+dispatch overlaps host staging of frame t+1 with device compute of
+frame t (the reference hides this in DataLoader workers).
+"""
+
+from functools import partial
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# leaves consumed by encode_agents, sharded along the agent mesh axis
+AGENT_KEYS = ("voxel_features", "voxel_coords", "voxel_num_points",
+              "voxel_mask")
+
+
+def split_batch(batch):
+    """Split a collab batch into (agent-sharded, replicated/shared) dicts."""
+    agent_in = {k: batch[k] for k in AGENT_KEYS if k in batch}
+    shared_in = {k: v for k, v in batch.items() if k not in agent_in}
+    return agent_in, shared_in
+
+
+def build_spmd_codebook_server(model, mesh: Mesh):
+    """Jitted SPMD step: encode local agents -> all-gather int codes ->
+    decode -> fuse. `model` must be a PyramidCollabModel built with a
+    CodebookCompressor. The batch agent axis L must be divisible by the
+    mesh's "agent" extent.
+
+    Returns step(variables, batch) -> output dict (cls/reg/dir preds...).
+    """
+    assert "agent" in mesh.axis_names, mesh.axis_names
+    dn = "data" if "data" in mesh.axis_names else None
+    comp = model.compressor
+    assert comp is not None, "model needs a CodebookCompressor"
+    C = comp.channel
+    lv = len(comp.dict_sizes)
+    seg = comp.seg_num
+    dt = model.cfg.jnp_dtype
+
+    def spmd_fn(variables, agent_in, shared_in):
+        def fn(mdl):
+            # transmit side — local to this chip's agent slice
+            feats = mdl.encode_agents({**agent_in, **shared_in})
+            B, Ll, h, w, _ = feats.shape
+            codes = mdl.compressor.codebook.encode(feats.reshape(-1, C))
+            codes = codes.reshape(B, Ll, h, w, lv * seg)
+            # === the V2X wire: int32 codes ride the ICI all-gather ===
+            codes = jax.lax.all_gather(codes, "agent", axis=1, tiled=True)
+            # receive side — replicated across agent shards
+            L = codes.shape[1]
+            feats = mdl.compressor.codebook.decode(
+                codes.reshape(-1, lv, seg))
+            feats = feats.reshape(B, L, h, w, C).astype(dt)
+            return mdl.fuse_and_predict(feats, shared_in)
+        return model.apply(variables, method=fn)
+
+    agent_specs = {k: P(dn, "agent") for k in AGENT_KEYS}
+
+    def step(variables, batch):
+        agent_in, shared_in = split_batch(batch)
+        a_specs = {k: agent_specs[k] for k in agent_in}
+        s_specs = {k: P(dn) for k in shared_in}
+        fn = jax.shard_map(
+            spmd_fn, mesh=mesh,
+            in_specs=(P(), a_specs, s_specs),
+            out_specs=P(dn),
+            check_vma=False,
+        )
+        return fn(variables, agent_in, shared_in)
+
+    return jax.jit(step)
+
+
+def wire_report(comp, h: int, w: int) -> dict:
+    """Bytes-on-ICI accounting for one agent's BEV message."""
+    bits_px = len(comp.dict_sizes) * comp.seg_num * int(
+        np.ceil(np.log2(max(comp.dict_sizes))))
+    return {
+        "wire_bits_per_bev_pixel": bits_px,
+        "codes_kb_per_agent": round(h * w * bits_px / 8 / 1024, 1),
+        "bf16_feature_kb_per_agent": round(h * w * comp.channel * 2 / 1024,
+                                           1),
+        "compression_vs_bf16_x": round(comp.channel * 16 / bits_px, 1),
+        "compression_vs_fp32_x": round(comp.channel * 32 / bits_px, 1),
+    }
+
+
+def serve_stream(step, variables, batches: Iterable, mesh: Optional[Mesh] = None,
+                 warmup: int = 1):
+    """Continuous-batching serving loop.
+
+    Dispatches frame t+1 while frame t still computes (JAX async
+    dispatch): `step` calls are enqueued without blocking, results are
+    consumed one frame behind, and the final fetch synchronizes. Returns
+    (outputs, frames_per_sec) where fps covers the steady-state frames.
+    """
+    import time
+
+    outs, pending = [], []
+    t0 = None
+    n_timed = 0
+    for i, batch in enumerate(batches):
+        if mesh is not None:
+            from quantv2x_tpu.parallel.sharding import shard_batch
+            batch = shard_batch(mesh, batch)
+        pending.append(step(variables, batch))
+        if len(pending) > 1:          # consume one frame behind
+            outs.append(jax.block_until_ready(pending.pop(0)))
+        if i + 1 == warmup:
+            t0 = time.time()
+        if t0 is not None and i + 1 > warmup:
+            n_timed += 1
+    while pending:
+        outs.append(jax.block_until_ready(pending.pop(0)))
+    dt = (time.time() - t0) if t0 is not None else float("nan")
+    fps = n_timed / dt if n_timed and dt > 0 else float("nan")
+    return outs, fps
