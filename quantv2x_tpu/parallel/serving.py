@@ -42,14 +42,21 @@ def split_batch(batch):
     return agent_in, shared_in
 
 
-def build_spmd_codebook_server(model, mesh: Mesh):
+def build_spmd_codebook_server(model, mesh: Mesh, interceptor=None):
     """Jitted SPMD step: encode local agents -> all-gather int codes ->
     decode -> fuse. `model` must be a PyramidCollabModel built with a
     CodebookCompressor. The batch agent axis L must be divisible by the
     mesh's "agent" extent.
 
+    `interceptor` (a flax method interceptor) composes a quantized engine
+    into the SPMD step — pass quant/int8_engine.make_int8_interceptor's
+    result for the fully-quantized north-star pipeline: INT8 encoder +
+    codebook comms on the wire + INT8 fusion.
+
     Returns step(variables, batch) -> output dict (cls/reg/dir preds...).
     """
+    import contextlib
+    import flax.linen as nn
     assert "agent" in mesh.axis_names, mesh.axis_names
     dn = "data" if "data" in mesh.axis_names else None
     comp = model.compressor
@@ -74,7 +81,10 @@ def build_spmd_codebook_server(model, mesh: Mesh):
                 codes.reshape(-1, lv, seg))
             feats = feats.reshape(B, L, h, w, C).astype(dt)
             return mdl.fuse_and_predict(feats, shared_in)
-        return model.apply(variables, method=fn)
+        ctx = (nn.intercept_methods(interceptor) if interceptor is not None
+               else contextlib.nullcontext())
+        with ctx:
+            return model.apply(variables, method=fn)
 
     agent_specs = {k: P(dn, "agent") for k in AGENT_KEYS}
 

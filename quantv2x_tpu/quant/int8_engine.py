@@ -202,9 +202,9 @@ def build_engine_tables(model, variables, calib_batches,
     return tables
 
 
-def make_int8_apply(model, tables, cfg: ptq_mod.PTQConfig = None):
-    """Returns int8_apply(variables, batch) executing units on real int8."""
-    cfg = cfg or ptq_mod.PTQConfig()
+def make_int8_interceptor(tables):
+    """The engine as a reusable flax method interceptor (composes with any
+    apply — e.g. parallel/serving's shard_map SPMD step)."""
 
     def interceptor(next_fn, args, kwargs, context):
         module = context.module
@@ -237,6 +237,13 @@ def make_int8_apply(model, tables, cfg: ptq_mod.PTQConfig = None):
                 y = y.reshape(shp[:-3] + y.shape[-3:])
             return y.astype(x.dtype)
         return next_fn(*args, **kwargs)
+
+    return interceptor
+
+
+def make_int8_apply(model, tables, cfg: ptq_mod.PTQConfig = None):
+    """Returns int8_apply(variables, batch) executing units on real int8."""
+    interceptor = make_int8_interceptor(tables)
 
     def int8_apply(variables, batch):
         with nn.intercept_methods(interceptor):

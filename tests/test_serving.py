@@ -97,6 +97,28 @@ def test_serve_stream_continuous_batching(setup):
         assert np.isfinite(np.asarray(o["cls_preds"], np.float32)).all()
 
 
+def test_spmd_int8_engine_composes(setup):
+    """North-star config #4: INT8 encoder + codebook comms + INT8 fusion.
+    The int8 interceptor inside the shard_map step must reproduce the
+    single-process int8_apply exactly (same math, same tables)."""
+    from quantv2x_tpu.quant.int8_engine import (
+        build_int8_engine, make_int8_interceptor,
+    )
+
+    model, variables, batch = setup
+    tables, int8_apply = build_int8_engine(model, variables, [batch])
+    assert tables, "no int8 units built"
+    mesh = make_mesh(n_data=1, n_agent=2)
+    step = build_spmd_codebook_server(
+        model, mesh, interceptor=make_int8_interceptor(tables))
+    out_spmd = jax.block_until_ready(step(variables, batch))
+    out_ref = int8_apply(variables, batch)
+    for key in ("cls_preds", "reg_preds", "dir_preds"):
+        np.testing.assert_allclose(
+            np.asarray(out_spmd[key], np.float32),
+            np.asarray(out_ref[key], np.float32), atol=2e-2, rtol=1e-2)
+
+
 def test_split_batch_partition(setup):
     _, _, batch = setup
     agent_in, shared_in = split_batch(batch)
