@@ -163,7 +163,8 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
         )
         return (GenCommCollabModel(
             base_model=PyramidCollabModel(mcfg, name="base_model"),
-            cfg=gcfg), "collab")
+            cfg=gcfg,
+            use_enhancer="enhancer" in args), "collab")
 
     if base.startswith("heter_collab") or base.startswith("heter_model") \
             or base.startswith("heter_baseline_collab") \

@@ -21,7 +21,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from quantv2x_tpu.models.fusion_lib import warp_to_ego
+
+
+def warp_to_ego(x, affine_matrix):
+    # deferred import: fusion_lib's registry imports this module at its own
+    # module level, so an eager import here would make "import
+    # transformer_fusion first" fail with a partially-initialized module
+    from quantv2x_tpu.models.fusion_lib import warp_to_ego as _w
+    return _w(x, affine_matrix)
 
 
 def _window_partition(x, ws):

@@ -63,7 +63,9 @@ def main():
     base = PyramidCollabModel(model_cfg, name="base_model")
     gcfg = GenCommCfg(channels=model_cfg.backbone_filters[-1],
                       message_channels=args.message_channels)
-    model = GenCommCollabModel(base_model=base, cfg=gcfg)
+    margs = hypes.raw.get("model", {}).get("args", {})
+    model = GenCommCollabModel(base_model=base, cfg=gcfg,
+                               use_enhancer="enhancer" in margs)
 
     frames = [
         make_frame(SyntheticCfg(

@@ -119,3 +119,44 @@ def test_collab_wrapper_stages():
              for a, b in zip(jax.tree.leaves(state.params["gencomm"]["extractor"]),
                              jax.tree.leaves(new["gencomm"]["extractor"]))]
     assert any(moved)
+
+
+def test_enhancer_standalone_and_in_collab():
+    """Enhancer (enhancer.py FRFN/Enhancer parity): shape-preserving,
+    input-sensitive, and wired into GenCommCollabModel via use_enhancer."""
+    from quantv2x_tpu.data.pipeline import frame_to_batch
+    from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+    from quantv2x_tpu.data.voxelizer import VoxelCfg
+    from quantv2x_tpu.models.collab_model import ModelCfg, PyramidCollabModel
+    from quantv2x_tpu.models.gencomm import Enhancer, GenCommCollabModel
+
+    enh = Enhancer(window_sizes=(2, 4), num_heads=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 20, 16))
+    v = enh.init(jax.random.PRNGKey(1), x)
+    y = enh.apply(v, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    y2 = enh.apply(v, x + 1.0)
+    assert not np.allclose(np.asarray(y), np.asarray(y2))
+
+    rng_range = (-19.2, -19.2, -3.0, 19.2, 19.2, 1.0)
+    voxel = VoxelCfg(lidar_range=rng_range, voxel_size=(0.4, 0.4, 4.0),
+                     max_points_per_voxel=8, max_voxels=512)
+    batch = frame_to_batch(
+        make_frame(SyntheticCfg(lidar_range=rng_range, num_agents=2,
+                                num_objects=4, points_per_agent=3000,
+                                seed=6)), voxel, max_cav=2)
+    base = PyramidCollabModel(ModelCfg(voxel=voxel, max_cav=2),
+                              name="base_model")
+    model = GenCommCollabModel(
+        base_model=base,
+        cfg=GenCommCfg(channels=64, message_channels=4, timesteps=10,
+                       sample_steps=3),
+        use_enhancer=True)
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.PRNGKey(0),
+         "diffusion": jax.random.PRNGKey(7)}, b, train=False))(batch)
+    assert "enhancer" in variables["params"]
+    out = model.apply(variables, batch, train=False,
+                      rngs={"diffusion": jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(out["cls_preds"])).all()
