@@ -222,6 +222,27 @@ class V2XDataset:
     def __len__(self):
         return len(self.index)
 
+    def reinitialize(self):
+        """Per-epoch cav-order reshuffle (parity: basedataset
+        reinitialize, v2xreal_basedataset.py:181-273, called once per
+        epoch at tools/train.py:219) — a different eligible agent becomes
+        ego each epoch. Vehicles and infrastructure shuffle within their
+        groups so the dataset_mode's ego-type ordering is preserved."""
+        def _num(c):
+            try:
+                return int(c)
+            except ValueError:
+                return None
+
+        for s in self.scenarios:
+            ids = list(s["cavs"].keys())
+            infra = [c for c in ids if (_num(c) is not None and _num(c) < 0)]
+            veh = [c for c in ids if c not in infra]
+            self._rng.shuffle(veh)
+            self._rng.shuffle(infra)
+            order = infra + veh if infra and ids[0] in infra else veh + infra
+            s["cavs"] = {c: s["cavs"][c] for c in order}
+
     def __getitem__(self, idx: int):
         si, ti = self.index[idx]
         scen = self.scenarios[si]

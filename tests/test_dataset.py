@@ -177,3 +177,19 @@ class TestTimeDelay:
         ds = V2XDataset(root, "v2v", max_cav=2, max_points=20,
                         wild=WildCfg())
         assert ds[1]["agent_poses"][1][0] == pytest.approx(11.0)
+
+
+def test_reinitialize_reshuffles_cav_order(fake_root):
+    """Parity: basedataset.reinitialize() per-epoch cav reshuffle — ego
+    rotates among eligible agents, infra stays behind vehicles in vc."""
+    ds = V2XDataset(fake_root, "vc", max_cav=4, max_points=600, seed=3)
+    orders = set()
+    for _ in range(8):
+        ds.reinitialize()
+        ids = tuple(ds.scenarios[0]["cavs"].keys())
+        orders.add(ids)
+        # vc mode: vehicles first, infra (-1) last — preserved by reshuffle
+        assert ids[-1] == "-1" and set(ids[:-1]) == {"1", "2"}
+        frame = ds[0]  # still loads fine after reshuffle
+        assert frame["agent_points"].shape[-1] == 4
+    assert len(orders) > 1, "reinitialize never changed the cav order"
