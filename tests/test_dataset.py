@@ -193,3 +193,38 @@ def test_reinitialize_reshuffles_cav_order(fake_root):
         frame = ds[0]  # still loads fine after reshuffle
         assert frame["agent_points"].shape[-1] == 4
     assert len(orders) > 1, "reinitialize never changed the cav order"
+
+
+class TestPrefetchLoader:
+    def test_matches_sequential_order(self, fake_root):
+        from quantv2x_tpu.data.loader import PrefetchLoader
+        from quantv2x_tpu.data.pipeline import frame_to_batch
+        from quantv2x_tpu.data.voxelizer import VoxelCfg
+
+        vox = VoxelCfg(lidar_range=(-30, -30, -3, 30, 30, 1),
+                       voxel_size=(0.4, 0.4, 4.0),
+                       max_points_per_voxel=4, max_voxels=256)
+        ds = V2XDataset(fake_root, "v2v", max_cav=2, max_points=600)
+        loader = PrefetchLoader(ds, vox, max_cav=2, workers=3, prefetch=2)
+        got = list(loader)
+        assert len(got) == len(ds)
+        want = [frame_to_batch(ds[i], vox, max_cav=2) for i in range(len(ds))]
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g["voxel_features"]),
+                                          np.asarray(w["voxel_features"]))
+
+    def test_epochs_shuffle_and_reinitialize(self, fake_root):
+        from quantv2x_tpu.data.loader import PrefetchLoader
+        from quantv2x_tpu.data.voxelizer import VoxelCfg
+
+        vox = VoxelCfg(lidar_range=(-30, -30, -3, 30, 30, 1),
+                       voxel_size=(0.4, 0.4, 4.0),
+                       max_points_per_voxel=4, max_voxels=256)
+        ds = V2XDataset(fake_root, "vc", max_cav=4, max_points=600, seed=1)
+        loader = PrefetchLoader(ds, vox, max_cav=4, workers=2, prefetch=2,
+                                shuffle=True, reinitialize=True, seed=7)
+        n = len(ds)
+        batches = list(loader.epochs(2))
+        assert len(batches) == 2 * n
+        for b in batches:
+            assert np.asarray(b["agent_mask"]).any()
