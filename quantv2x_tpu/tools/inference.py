@@ -139,6 +139,11 @@ def main():
     ap.add_argument("--iters", type=int, default=None,
                     help="AdaRound reconstruction iterations per unit "
                          "(reference default 5000)")
+    ap.add_argument("--engine", choices=["none", "fused", "int8"],
+                    default="none",
+                    help="evaluate a deployment engine transform instead "
+                    "of the stock apply (parity: the reference evaluates "
+                    "its serialized TensorRT engines)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -196,6 +201,29 @@ def main():
                "fps": round(1.0 / lat, 2) if lat else None,
                "quant": "none", "mode": contract,
                "frames": len(test_frames)}
+        print(json.dumps(out, indent=2, default=float))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f, default=float)
+        return
+
+    if args.engine != "none":
+        if args.quant != "none":
+            raise SystemExit("--engine and --quant are mutually exclusive "
+                             "(int8 engine quantizes by itself)")
+        if args.engine == "fused":
+            from quantv2x_tpu.quant.fused_engine import build_fused_engine
+            _, eng_apply = build_fused_engine(model, variables, h_tile=16,
+                                              min_channels=0)
+        else:
+            from quantv2x_tpu.quant.int8_engine import build_int8_engine
+            _, eng_apply = build_int8_engine(model, variables, calib)
+        summary, lat = run_eval(model, variables, test, hypes,
+                                apply_fn=lambda v, b: eng_apply(v, b))
+        out = {"ap": summary, "mean_latency_s": round(lat, 4),
+               "fps": round(1.0 / lat, 2) if lat else None,
+               "quant": args.engine, "engine": args.engine,
+               "frames": len(test)}
         print(json.dumps(out, indent=2, default=float))
         if args.json:
             with open(args.json, "w") as f:
