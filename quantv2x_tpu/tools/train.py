@@ -16,6 +16,28 @@ import jax
 import numpy as np
 
 
+def _backup_source(run_dir: str):
+    """Snapshot the framework source into the run dir (parity:
+    train_utils.backup_script — the reference copies models/data_utils/
+    utils/loss next to every checkpoint so a run is reproducible even
+    after the repo moves on). One zip instead of a file tree."""
+    import zipfile
+
+    import quantv2x_tpu
+
+    pkg = os.path.dirname(quantv2x_tpu.__file__)
+    out = os.path.join(run_dir, "source_backup.zip")
+    try:
+        with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+            for base, _, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        p = os.path.join(base, fn)
+                        z.write(p, os.path.relpath(p, os.path.dirname(pkg)))
+    except OSError as e:      # never fail a run over a snapshot
+        print(f"[train] source backup skipped: {e}")
+
+
 def main():
     from quantv2x_tpu.utils.runtime import enable_compile_cache
     enable_compile_cache()
@@ -153,6 +175,7 @@ def main():
     os.makedirs(args.run_dir, exist_ok=True)
     from quantv2x_tpu.config.hypes import save_hypes
     save_hypes(hypes, os.path.join(args.run_dir, "config.yaml"))
+    _backup_source(args.run_dir)
 
     log_path = os.path.join(args.run_dir, "train_log.jsonl")
     for epoch in range(start_epoch, epochs):
