@@ -212,6 +212,9 @@ class V2XDataset:
         # time-delay simulation (parity: wild_setting async path,
         # v2xreal_basedataset.py:89-122; see data/noise_sim.WildCfg)
         self.wild = wild
+        self._seed = seed
+        # used only by reinitialize() (main thread); __getitem__ derives a
+        # per-index rng so PrefetchLoader worker threads stay deterministic
         self._rng = np.random.default_rng(seed)
         self.index = [
             (si, ti)
@@ -249,12 +252,17 @@ class V2XDataset:
         ts = scen["timestamps"][ti]
         cav_ids = list(scen["cavs"].keys())
 
+        # per-index rng: reproducible regardless of which loader thread
+        # (or how many) executes this call — np.random.Generator is not
+        # thread-safe and shared draws would depend on schedule order
+        rng = np.random.default_rng((self._seed, idx))
+
         params_list, lidars, poses = [], [], []
         for ci, cav in enumerate(cav_ids):
             ts_cav = ts
             if self.wild is not None and ci > 0:
                 from quantv2x_tpu.data.noise_sim import time_delay_frames
-                d = time_delay_frames(self.wild, self._rng, ego=False)
+                d = time_delay_frames(self.wild, rng, ego=False)
                 if d > 0:
                     # stale message: this cav's lidar AND pose come from
                     # an earlier timestamp (reference applies the delayed

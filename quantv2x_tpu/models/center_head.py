@@ -187,8 +187,13 @@ class CenterPointCollabModel(nn.Module):
         H, W = c.bev_hw
         affine = normalize_pairwise_tfm(
             batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0])
+        fov_mask = None
+        if c.proj_first:
+            from quantv2x_tpu.models.pyramid_fusion import project_to_ego
+            feats, fov_mask = project_to_ego(
+                feats, affine[:, 0], self.trunk.pyramid.align_corners)
         fused, occ_maps = self.trunk.pyramid.forward_collab(
-            feats, batch["agent_mask"], affine, train)
+            feats, batch["agent_mask"], affine, train, fov_mask=fov_mask)
         fused = self.trunk.shrink(fused)
         out = self.head(fused)
         out["occ_maps"] = occ_maps

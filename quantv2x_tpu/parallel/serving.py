@@ -66,6 +66,12 @@ def build_spmd_codebook_server(model, mesh: Mesh, interceptor=None):
     seg = comp.seg_num
     dt = model.cfg.jnp_dtype
 
+    # smallest lane dtype that holds every codebook index — the gather
+    # should move code bytes, not int32 padding
+    kmax = max(comp.dict_sizes)
+    wire_dtype = (jnp.uint8 if kmax <= 256
+                  else jnp.uint16 if kmax <= 65536 else jnp.int32)
+
     def spmd_fn(variables, agent_in, shared_in):
         def fn(mdl):
             # transmit side — local to this chip's agent slice
@@ -73,8 +79,10 @@ def build_spmd_codebook_server(model, mesh: Mesh, interceptor=None):
             B, Ll, h, w, _ = feats.shape
             codes = mdl.compressor.codebook.encode(feats.reshape(-1, C))
             codes = codes.reshape(B, Ll, h, w, lv * seg)
-            # === the V2X wire: int32 codes ride the ICI all-gather ===
+            # === the V2X wire: narrow code ints ride the ICI all-gather ===
+            codes = codes.astype(wire_dtype)
             codes = jax.lax.all_gather(codes, "agent", axis=1, tiled=True)
+            codes = codes.astype(jnp.int32)
             # receive side — replicated across agent shards
             L = codes.shape[1]
             feats = mdl.compressor.codebook.decode(
@@ -104,12 +112,23 @@ def build_spmd_codebook_server(model, mesh: Mesh, interceptor=None):
 
 
 def wire_report(comp, h: int, w: int) -> dict:
-    """Bytes-on-ICI accounting for one agent's BEV message."""
-    bits_px = len(comp.dict_sizes) * comp.seg_num * int(
-        np.ceil(np.log2(max(comp.dict_sizes))))
+    """Bytes-on-ICI accounting for one agent's BEV message.
+
+    Entropy-coded bits sum ceil(log2(k)) PER LEVEL (matches
+    UMGMCodebook.bits_per_vector — levels may have different dict sizes);
+    the raw collective itself moves one lane-dtype int per code, so both
+    numbers are reported.
+    """
+    bits_px = comp.seg_num * int(
+        sum(np.ceil(np.log2(k)) for k in comp.dict_sizes))
+    kmax = max(comp.dict_sizes)
+    lane_bits = 8 if kmax <= 256 else 16 if kmax <= 65536 else 32
+    gather_bits_px = len(comp.dict_sizes) * comp.seg_num * lane_bits
     return {
         "wire_bits_per_bev_pixel": bits_px,
+        "gather_bits_per_bev_pixel": gather_bits_px,
         "codes_kb_per_agent": round(h * w * bits_px / 8 / 1024, 1),
+        "gather_kb_per_agent": round(h * w * gather_bits_px / 8 / 1024, 1),
         "bf16_feature_kb_per_agent": round(h * w * comp.channel * 2 / 1024,
                                            1),
         "compression_vs_bf16_x": round(comp.channel * 16 / bits_px, 1),
@@ -128,22 +147,21 @@ def serve_stream(step, variables, batches: Iterable, mesh: Optional[Mesh] = None
     """
     import time
 
-    outs, pending = [], []
-    t0 = None
-    n_timed = 0
-    for i, batch in enumerate(batches):
+    outs, pending, done_at = [], [], []
+    for batch in batches:
         if mesh is not None:
             from quantv2x_tpu.parallel.sharding import shard_batch
             batch = shard_batch(mesh, batch)
         pending.append(step(variables, batch))
         if len(pending) > 1:          # consume one frame behind
             outs.append(jax.block_until_ready(pending.pop(0)))
-        if i + 1 == warmup:
-            t0 = time.time()
-        if t0 is not None and i + 1 > warmup:
-            n_timed += 1
+            done_at.append(time.time())
     while pending:
         outs.append(jax.block_until_ready(pending.pop(0)))
-    dt = (time.time() - t0) if t0 is not None else float("nan")
-    fps = n_timed / dt if n_timed and dt > 0 else float("nan")
+        done_at.append(time.time())
+    # steady-state fps from completion timestamps, excluding the first
+    # `warmup` frames (their window includes compile)
+    w = min(warmup, len(done_at) - 2) if len(done_at) >= 2 else 0
+    span = done_at[-1] - done_at[w] if len(done_at) - 1 > w else 0.0
+    fps = (len(done_at) - 1 - w) / span if span > 0 else float("nan")
     return outs, fps

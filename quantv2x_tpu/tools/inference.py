@@ -194,17 +194,19 @@ def main():
         print(f"[inference] loaded epoch {epoch}")
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    if contract in ("voxels", "early", "late"):
-        summary, lat = run_eval_single(model, variables, test_frames, hypes,
-                                       contract, frame_vox)
+    def emit(summary, lat, n_frames, **extra):
         out = {"ap": summary, "mean_latency_s": round(lat, 4),
                "fps": round(1.0 / lat, 2) if lat else None,
-               "quant": "none", "mode": contract,
-               "frames": len(test_frames)}
+               "frames": n_frames, **extra}
         print(json.dumps(out, indent=2, default=float))
         if args.json:
             with open(args.json, "w") as f:
                 json.dump(out, f, default=float)
+
+    if contract in ("voxels", "early", "late"):
+        summary, lat = run_eval_single(model, variables, test_frames, hypes,
+                                       contract, frame_vox)
+        emit(summary, lat, len(test_frames), quant="none", mode=contract)
         return
 
     if args.engine != "none":
@@ -219,15 +221,8 @@ def main():
             from quantv2x_tpu.quant.int8_engine import build_int8_engine
             _, eng_apply = build_int8_engine(model, variables, calib)
         summary, lat = run_eval(model, variables, test, hypes,
-                                apply_fn=lambda v, b: eng_apply(v, b))
-        out = {"ap": summary, "mean_latency_s": round(lat, 4),
-               "fps": round(1.0 / lat, 2) if lat else None,
-               "quant": args.engine, "engine": args.engine,
-               "frames": len(test)}
-        print(json.dumps(out, indent=2, default=float))
-        if args.json:
-            with open(args.json, "w") as f:
-                json.dump(out, f, default=float)
+                                apply_fn=eng_apply)
+        emit(summary, lat, len(test), quant=args.engine, engine=args.engine)
         return
 
     if args.quant == "none":
@@ -253,13 +248,7 @@ def main():
             apply_fn=lambda v, b: qapply(v, act_scales, b),
         )
 
-    out = {"ap": summary, "mean_latency_s": round(lat, 4),
-           "fps": round(1.0 / lat, 2) if lat else None,
-           "quant": args.quant, "frames": len(test)}
-    print(json.dumps(out, indent=2, default=float))
-    if args.json:
-        with open(args.json, "w") as f:
-            json.dump(out, f, default=float)
+    emit(summary, lat, len(test), quant=args.quant)
 
 
 if __name__ == "__main__":

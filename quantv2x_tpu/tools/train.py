@@ -57,6 +57,13 @@ def main():
     ap.add_argument("--augment", action="store_true",
                     help="apply flip/rotation/scale augmentation when generating frames")
     ap.add_argument("--mesh", default="", help="e.g. '4,2' = data4 x agent2")
+    ap.add_argument("--epoch_reload", action="store_true",
+                    help="real-dataset mode: reinitialize() the dataset "
+                    "(per-epoch ego/cav reshuffle, the reference's "
+                    "train.py:219) and reload+revoxelize frames each "
+                    "epoch via PrefetchLoader. Off by default: re-uploads "
+                    "every frame per epoch, expensive over a remote-TPU "
+                    "tunnel")
     ap.add_argument("--init_from", default="",
                     help="run dir to warm-start params/batch_stats from "
                          "(graft by leaf path; missing leaves keep init — "
@@ -103,7 +110,8 @@ def main():
             ))
             for s in range(args.synthetic)
         ]
-    else:
+    ds = None
+    if not args.synthetic:
         from quantv2x_tpu.data.dataset import build_frame_source
         ds = build_frame_source(hypes.raw, "train", max_cav=max_cav)
         n = min(len(ds), args.max_frames)
@@ -171,6 +179,24 @@ def main():
         groups = [shard_batch(mesh, g) for g in groups]
         state = jax.device_put(state, NamedSharding(mesh, P()))
         print(f"[train] sharded over mesh data={nd} agent={na}")
+
+    if args.epoch_reload and ds is not None:
+        # per-epoch reinitialize + reload (reference train.py:219): frames
+        # re-read with a fresh ego/cav order and re-voxelized each epoch
+        from quantv2x_tpu.data.loader import PrefetchLoader
+        n_frames = min(len(ds), args.max_frames)
+        loader = PrefetchLoader(ds, hypes.voxel, max_cav=max_cav,
+                                indices=range(n_frames), shuffle=True,
+                                reinitialize=True, seed=11)
+
+        def batched(epoch_seed):  # noqa: F811 — reload mode overrides
+            buf = []
+            for b in loader:
+                buf.append(b)
+                if len(buf) == batch_size:
+                    g = stack_batches(*buf)
+                    buf = []
+                    yield shard_batch(mesh, g) if mesh_ctx else g
 
     os.makedirs(args.run_dir, exist_ok=True)
     from quantv2x_tpu.config.hypes import save_hypes

@@ -81,10 +81,13 @@ def main():
         for i in range(0, len(batches) - args.batch_size + 1, args.batch_size)
     ]
 
-    # stage 1: all of gencomm trains; stage 2: extractor only
-    # (model_train_init_stage2 parity — everything else is frozen)
+    # stage 1: all of gencomm (+ the optional enhancer, which lives at the
+    # top level of the param tree) trains; stage 2: extractor only — the
+    # reference likewise keeps the trained enhancer frozen in stage 2
+    # (fix_modules += ["enhancer"], stage2:178)
     if args.stage == 1:
-        predicate = lambda p: p.startswith("gencomm")
+        predicate = lambda p: (p.startswith("gencomm")
+                               or p.startswith("enhancer"))
     else:
         predicate = lambda p: p.startswith("gencomm/extractor")
     optim = dataclasses.replace(hypes.optim,
@@ -114,6 +117,9 @@ def main():
             full = c.restore(os.path.join(os.path.abspath(args.resume_from),
                                           f"epoch_{ep}"))
         params["gencomm"] = full["params"]["gencomm"]
+        if "enhancer" in full["params"] and "enhancer" in params:
+            # carry the stage-1-trained enhancer into stage 2 (frozen there)
+            params["enhancer"] = full["params"]["enhancer"]
         print(f"[gencomm] seeded gencomm from {args.resume_from} (epoch {ep})")
     state = state.replace(params=params, batch_stats=bstats)
 

@@ -67,17 +67,27 @@ def test_wire_carries_int_codes_not_features(setup):
     hlo = jax.jit(step).lower(variables, batch).compile().as_text()
     gathers = [ln for ln in hlo.splitlines() if "all-gather" in ln]
     assert gathers, "no all-gather in compiled SPMD program"
-    # every cross-chip gather moves s32 codes; bf16/f32 features never
-    # cross the wire
-    assert any("s32[" in ln for ln in gathers), gathers
-    assert not any(("bf16[" in ln or "f32[" in ln) for ln in gathers), gathers
+    # every cross-chip gather moves uint8 codes (K=256 fits one byte);
+    # neither features (bf16/f32) nor int32 padding cross the wire
+    assert any("u8[" in ln for ln in gathers), gathers
+    assert not any(("bf16[" in ln or "f32[" in ln or "s32[" in ln)
+                   for ln in gathers), gathers
 
 
 def test_wire_report_compression():
     comp = CodebookCompressor(channel=64)  # M=2, K=256 x 3 levels defaults
     rep = wire_report(comp, 24, 24)
     assert rep["wire_bits_per_bev_pixel"] == 48
+    # at K=256 the uint8 gather lanes carry exactly the entropy bits
+    assert rep["gather_bits_per_bev_pixel"] == 48
     assert rep["compression_vs_fp32_x"] == pytest.approx(42.7, abs=0.1)
+
+    # heterogeneous level sizes: bits sum per level (codebook
+    # bits_per_vector semantics), not levels * log2(max)
+    het = CodebookCompressor(channel=64, dict_sizes=(256, 64, 16))
+    rep2 = wire_report(het, 24, 24)
+    assert rep2["wire_bits_per_bev_pixel"] == 2 * (8 + 6 + 4)
+    assert rep2["gather_bits_per_bev_pixel"] == 3 * 2 * 8
 
 
 def test_serve_stream_continuous_batching(setup):
