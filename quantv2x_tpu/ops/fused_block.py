@@ -614,15 +614,31 @@ def _stack_kernel(x_hbm, *refs, th, w_t, w_img, h_img, K, radius,
         d.wait()
 
 
-def _stack_vmem_bytes(th, Wt, Cp, widths, radius, itemsize=2):
+def _stack_vmem_bytes(th, Wt, Cp, widths, radius, itemsize=2,
+                      w2_super=None):
+    """Estimate one chained-stack call's VMEM footprint.
+
+    widths are the RAW bottleneck widths; bottleneck w2 occupies
+    9*w*128 when supergroup-packed (3,3,S,128,128 — only possible at
+    w % 128 == 0) but 9*Wd*Wd when it falls back to a dense
+    block-diagonal padded to Wd = roundup(w, 128). w2_super: per-block
+    bools; default infers supergroup from divisibility."""
     halo = max(len(widths), 1) * radius
     rows = th + 2 * halo
+    pad = [(-(-w // 128) * 128) for w in widths]
     acts = rows * Wt * (Cp * itemsize            # xs
-                        + max(widths) * (4 + itemsize) * 2   # acc/h1/h2
+                        + max(pad if radius == 1 else widths)
+                        * (4 + itemsize) * 2     # acc/h1/h2
                         + Cp * 4 + Cp * itemsize)            # y + ys
-    weights = sum((9 * w * min(w, 128) if radius == 1 else 9 * Cp * w * 2)
-                  * itemsize + (2 * Cp * w * itemsize if radius == 1 else 0)
-                  for w in widths)
+    if w2_super is None:
+        w2_super = [w % 128 == 0 for w in widths]
+    weights = 0
+    for w, wd, sup in zip(widths, pad, w2_super):
+        if radius == 1:
+            w2b = 9 * w * 128 if sup else 9 * wd * wd
+            weights += (w2b + 2 * Cp * wd) * itemsize
+        else:
+            weights += 9 * Cp * w * 2 * itemsize
     return acts + weights
 
 

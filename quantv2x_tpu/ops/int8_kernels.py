@@ -81,7 +81,8 @@ def int8_matmul_requant_kernel(x_ref, w_ref, colsum_ref, scale_ref, bias_ref,
         y = acc.astype(jnp.float32) * scale_ref[:][None, :]
         y = y + bias_ref[:][None, :]
         y = jnp.where(relu > 0, jnp.maximum(y, 0.0), y)
-        yq = jnp.clip(jnp.round(y / out_delta) + out_zp, 0, 255)
+        qmax = meta_ref[5]          # 2**out_bits - 1
+        yq = jnp.clip(jnp.round(y / out_delta) + out_zp, 0, qmax)
         out_ref[:] = jnp.where(do_quant > 0, yq, y)
 
 
@@ -122,6 +123,7 @@ def int8_matmul_requant(x_q, w_q, x_zp, scale, bias=None, relu=False,
             0.0 if out_zp is None else out_zp,
             1.0 if relu else 0.0,
             0.0 if out_delta is None else 1.0,
+            float(2 ** out_bits - 1),
         ],
         jnp.float32,
     )
@@ -156,14 +158,7 @@ def int8_matmul_reference(x_q, w_q, x_zp, scale, bias=None, relu=False,
                           out_delta=None, out_zp=None, out_bits=8):
     """Plain-XLA twin of the Pallas kernel (oracle for tests; also a usable
     fallback path — XLA lowers int8 dots onto the MXU natively)."""
-    acc = jax.lax.dot_general(
-        x_q.astype(jnp.int8 if x_q.dtype != jnp.uint8 else jnp.int32),
-        w_q,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ) if False else (
-        x_q.astype(jnp.int32) @ w_q.astype(jnp.int32)
-    )
+    acc = x_q.astype(jnp.int32) @ w_q.astype(jnp.int32)
     colsum = w_q.astype(jnp.int32).sum(axis=0)
     return _requant_epilogue(
         acc, jnp.round(jnp.float32(x_zp)).astype(jnp.int32), colsum,

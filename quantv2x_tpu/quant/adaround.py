@@ -107,7 +107,7 @@ def capture_units(model, variables, qvariables, act_scales, batches,
             path_s = ptq_mod._path_str(module.path)
             is_unit = (
                 context.method_name == "__call__"
-                and ptq_mod._is_unit(module, path_s, cfg.output_heads)
+                and ptq_mod._is_unit(module, path_s)
                 and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
             )
             if is_unit and kind == "in":
@@ -152,17 +152,22 @@ def capture_fp_outputs(model, variables, batches, cfg: ptq_mod.PTQConfig):
     """One FP pass per batch: per-unit FP outputs + module clones, in
     first-execution order (dict insertion order = reconstruction order)."""
     store: Dict[str, dict] = {}
+    seen_this_batch = set()
 
     def interceptor(next_fn, args, kwargs, context):
         module = context.module
         path_s = ptq_mod._path_str(module.path)
         is_unit = (
             context.method_name == "__call__"
-            and ptq_mod._is_unit(module, path_s, cfg.output_heads)
+            and ptq_mod._is_unit(module, path_s)
             and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
         )
         out = next_fn(*args, **kwargs)
-        if is_unit:
+        # FIRST call per batch only: units invoked several times per
+        # forward (e.g. heter encoders applied once per agent) must stay
+        # aligned with capture_unit_inputs, which stops at the first call
+        if is_unit and path_s not in seen_this_batch:
+            seen_this_batch.add(path_s)
             ent = store.setdefault(
                 path_s, {"outputs": [], "module": None})
             ent["module"] = module.clone(parent=None)
@@ -170,6 +175,7 @@ def capture_fp_outputs(model, variables, batches, cfg: ptq_mod.PTQConfig):
         return out
 
     for batch in batches:
+        seen_this_batch.clear()
         with nn.intercept_methods(interceptor):
             model.apply(variables, batch, train=False)
     return store
@@ -188,7 +194,7 @@ def capture_unit_inputs(model, qvariables, act_scales, batches,
         path_s = ptq_mod._path_str(module.path)
         is_unit = (
             context.method_name == "__call__"
-            and ptq_mod._is_unit(module, path_s, cfg.output_heads)
+            and ptq_mod._is_unit(module, path_s)
             and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
         )
         if is_unit and path_s == target:
@@ -253,6 +259,12 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
 
     x = np.concatenate(inputs, axis=0)
     y_fp = np.concatenate(fp_outputs, axis=0)
+    if y_fp.shape[0] != x.shape[0]:
+        raise ValueError(
+            f"captured input/output sample mismatch ({x.shape[0]} vs "
+            f"{y_fp.shape[0]}) — capture_fp_outputs and "
+            f"capture_unit_inputs must both record the first call per batch"
+        )
     # merge per-batch extra args: concatenate arrays, pass scalars through
     if extra_args:
         merged = []
@@ -272,7 +284,7 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             old_n, rcfg.batch_size, replace=False
         )
         x = x[sel]
-        y_fp = y_fp[sel] if y_fp.shape[0] == old_n else y_fp
+        y_fp = y_fp[sel]
         extra_args = tuple(
             a[sel] if isinstance(a, np.ndarray) and a.ndim >= 1
             and a.shape[0] == old_n else a
@@ -379,11 +391,8 @@ def adaround_reconstruct(model, variables, calib_batches,
     """
     cfg = cfg or ptq_mod.PTQConfig()
     rcfg = rcfg or ReconCfg()
-    qvars, act_scales, qapply = ptq_mod.ptq_calibrate(
-        model, variables, calib_batches, cfg
-    )
-    _, w_scales = ptq_mod.quantize_weights(
-        variables["params"], cfg.weight_spec, cfg.skip_scopes
+    qvars, act_scales, qapply, w_scales = ptq_mod.ptq_calibrate(
+        model, variables, calib_batches, cfg, return_w_scales=True
     )
     if rcfg.sequential:
         store = capture_fp_outputs(model, variables, calib_batches, cfg)

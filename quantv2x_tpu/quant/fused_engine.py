@@ -212,15 +212,19 @@ def make_fused_apply(model, tables, h_tile: int = 16,
                     (t[1].shape[3] if kind == "basic" else t[1].shape[1])
                     for t in run[:K]
                 ]
+                # actual w2 form per block: supergrouped (ndim 5) is
+                # 9*w*128 VMEM; block-diagonal pads to 9*Wd*Wd
+                w2_super = [t[3].ndim == 5 for t in run[:K]]
                 halo = K * radius
                 Wt = -(-(W + 2 * halo) // 8) * 8
                 Cp = (-(-C // 128) * 128) if not interpret else C
                 th = min(h_tile, max(4, H))
                 while th > 4 and fb._stack_vmem_bytes(
-                        th, Wt, Cp, widths, radius) > fb._VMEM_BUDGET:
+                        th, Wt, Cp, widths, radius,
+                        w2_super=w2_super) > fb._VMEM_BUDGET:
                     th //= 2
-                if fb._stack_vmem_bytes(th, Wt, Cp, widths,
-                                        radius) <= fb._VMEM_BUDGET:
+                if fb._stack_vmem_bytes(th, Wt, Cp, widths, radius,
+                                        w2_super=w2_super) <= fb._VMEM_BUDGET:
                     break
                 K -= 1
             K = max(K, 1)
@@ -334,6 +338,10 @@ def make_fused_apply(model, tables, h_tile: int = 16,
 
     def fused_apply(variables, *args, train: bool = False, method=None,
                     **kwargs):
+        if train:
+            raise ValueError("fused engine is inference-only: BN is folded "
+                             "into the kernels, so train=True cannot update "
+                             "batch stats")
         with nn.intercept_methods(make_interceptor({})):
             if method is None:
                 return model.apply(variables, *args, train=False, **kwargs)

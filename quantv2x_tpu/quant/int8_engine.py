@@ -55,8 +55,15 @@ def quantize_weight_sym(w, bits=8):
 # Input-range observation
 # ---------------------------------------------------------------------------
 
-def observe_input_ranges(model, variables, batches, cfg: ptq_mod.PTQConfig):
-    """{unit_path: (min, max)} of each ConvBNReLU unit's INPUT."""
+def observe_input_ranges(model, variables, batches, cfg: ptq_mod.PTQConfig,
+                         unit_attrs: dict = None):
+    """{unit_path: (lo, hi)} of each ConvBNReLU unit's INPUT.
+
+    Honors cfg.act_percentile (per-batch two-sided quantile, running
+    min/max across batches — same observer semantics as quant/ptq.py).
+    If `unit_attrs` is given, it is filled with each unit's static
+    (strides, groups, act) so engine tables carry the real values."""
+    q = cfg.act_percentile
 
     def interceptor(next_fn, args, kwargs, context):
         module = context.module
@@ -68,9 +75,20 @@ def observe_input_ranges(model, variables, batches, cfg: ptq_mod.PTQConfig):
             and isinstance(args[0], jax.Array)
         ):
             x = args[0]
+            if unit_attrs is not None:
+                st = module.strides
+                unit_attrs[path_s] = (
+                    (st, st) if isinstance(st, int) else tuple(st),
+                    module.groups, module.act,
+                )
+            flat = x.astype(jnp.float32).ravel()
+            if q >= 1.0:
+                lo, hi = flat.min(), flat.max()
+            else:
+                lo, hi = jnp.quantile(flat, jnp.array([1.0 - q, q]))
             module.sow(
                 "quant_obs", "in_range",
-                (x.min().astype(jnp.float32), x.max().astype(jnp.float32)),
+                (lo, hi),
                 init_fn=lambda: (jnp.float32(jnp.inf), jnp.float32(-jnp.inf)),
                 reduce_fn=lambda a, b: (
                     jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])
@@ -131,7 +149,9 @@ def build_engine_tables(model, variables, calib_batches,
                         cfg: ptq_mod.PTQConfig = None):
     """Calibrate input ranges and fold+quantize every ConvBNReLU unit."""
     cfg = cfg or ptq_mod.PTQConfig()
-    in_ranges = observe_input_ranges(model, variables, calib_batches, cfg)
+    unit_attrs: Dict[str, tuple] = {}
+    in_ranges = observe_input_ranges(model, variables, calib_batches, cfg,
+                                     unit_attrs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tables: Dict[str, UnitTable] = {}
@@ -194,10 +214,11 @@ def build_engine_tables(model, variables, calib_batches,
 
     built = build_all(specs)
     for path_s, t in built.items():
+        st, gr, act = unit_attrs.get(path_s, ((1, 1), 1, True))
         tables[path_s] = UnitTable(
             wq=t["wq"], scale=t["scale"], bias=t["bias"],
             in_delta=t["in_delta"], in_zp=t["in_zp"],
-            strides=(1, 1), groups=1, relu=True,  # refined at call time
+            strides=st, groups=gr, relu=act,
         )
     return tables
 

@@ -97,7 +97,7 @@ def quantize_weights_with_scales(params, scales,
 # Activation interception
 # ---------------------------------------------------------------------------
 
-def _is_unit(module, path_s, output_heads):
+def _is_unit(module, path_s):
     if isinstance(module, UNIT_TYPES):
         return True
     if isinstance(module, RAW_TYPES) and module.name not in _WRAPPED_NAMES:
@@ -128,7 +128,7 @@ def make_observe_interceptor(cfg: PTQConfig):
         path_s = _path_str(module.path)
         if (
             context.method_name == "__call__"
-            and _is_unit(module, path_s, cfg.output_heads)
+            and _is_unit(module, path_s)
             and not _in_scope(path_s, cfg.skip_scopes)
             and not _in_scope(path_s, cfg.output_heads)
             and isinstance(out, jax.Array)
@@ -237,10 +237,13 @@ def make_quantized_apply(model, cfg: PTQConfig):
     return qapply
 
 
-def ptq_calibrate(model, variables, calib_batches, cfg: PTQConfig = None):
+def ptq_calibrate(model, variables, calib_batches, cfg: PTQConfig = None,
+                  return_w_scales: bool = False):
     """One-call W8A8 PTQ: weight scales + act ranges -> quantized apply.
 
-    Returns (qvariables, act_scales, qapply).
+    Returns (qvariables, act_scales, qapply)
+    [+ w_scales if return_w_scales — adaround reuses them instead of
+    redoing the full fake-quant pass].
     """
     cfg = cfg or PTQConfig()
     qparams, w_scales = quantize_weights(
@@ -249,4 +252,7 @@ def ptq_calibrate(model, variables, calib_batches, cfg: PTQConfig = None):
     qvariables = dict(variables, params=qparams)
     ranges = observe_activations(model, variables, calib_batches, cfg)
     act_scales = act_scales_from_ranges(ranges, cfg)
-    return qvariables, act_scales, make_quantized_apply(model, cfg)
+    qapply = make_quantized_apply(model, cfg)
+    if return_w_scales:
+        return qvariables, act_scales, qapply, w_scales
+    return qvariables, act_scales, qapply

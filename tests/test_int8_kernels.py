@@ -105,3 +105,21 @@ class TestInt8Conv:
         wq = wq.reshape(3, 3, 4, 8)
         y = k8.int8_conv_requant(xq, wq, zx, dx * dw, strides=(2, 2))
         assert y.shape == (1, 8, 8, 8)
+
+
+def test_matmul_requant_sub8bit_out():
+    """out_bits < 8 must clip to the smaller grid (kernel == reference)."""
+    import numpy as np
+    from quantv2x_tpu.ops.int8_kernels import (
+        int8_matmul_reference, int8_matmul_requant,
+    )
+    rng = np.random.default_rng(0)
+    x_q = jnp.asarray(rng.integers(0, 255, (32, 64)), jnp.int32)
+    w_q = jnp.asarray(rng.integers(-127, 127, (64, 16)), jnp.int32)
+    scale = jnp.asarray(rng.uniform(1e-4, 1e-3, (16,)), jnp.float32)
+    kw = dict(x_zp=3.0, scale=scale, relu=True, out_delta=0.02, out_zp=2.0,
+              out_bits=4)
+    ref = int8_matmul_reference(x_q, w_q, **kw)
+    got = int8_matmul_requant(x_q, w_q, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+    assert float(ref.max()) <= 15.0
