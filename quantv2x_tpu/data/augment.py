@@ -13,22 +13,38 @@ def augment_frame(frame, rng: np.random.Generator,
                   scale_range=(0.95, 1.05)):
     """Returns an augmented copy of a make_frame-contract dict.
 
-    The augmentation is applied in the EGO frame: points of every agent are
-    in their own local frames, so we transform poses and GT instead of the
-    raw points where possible; flips require flipping local points too
-    (a world flip maps each local frame to a mirrored one).
+    The augmentation is applied to the SCENE as seen in the ego frame
+    (matching the reference, which augments the merged ego-frame point
+    cloud): rotation via per-agent conjugated local transforms, uniform
+    scale via points+pose translations, flip via mirrored local frames.
+    Poses (and therefore the model's pairwise transforms) stay consistent
+    with the transformed points throughout.
     """
     out = {k: np.copy(v) for k, v in frame.items()}
 
-    # global rotation about ego z: rotate agent poses and GT
+    # global rotation of the SCENE in the ego frame. Rotating every pose
+    # by a world rotation would be a no-op on the model input (pairwise
+    # transforms are invariant to a global rigid motion) while still
+    # moving the ego-frame GT — corrupted labels. Instead keep poses
+    # fixed and rotate each agent's LOCAL points by the conjugated
+    # transform C_i = A_i^-1 M A_i (A_i = ego<-local): then every
+    # agent's ego-projection is exactly M(scene), matching M(GT).
+    from quantv2x_tpu.data.dataset import _pose_to_T
+
     ang = rng.uniform(*rot_range)
     c, s = np.cos(ang), np.sin(ang)
-    R = np.array([[c, -s], [s, c]])
+    M = np.eye(4)
+    M[:2, :2] = [[c, -s], [s, c]]
     poses = out["agent_poses"]
-    poses[:, :2] = poses[:, :2] @ R.T
-    poses[:, 4] += np.degrees(ang)
+    T_ego_inv = np.linalg.inv(_pose_to_T(poses[0]))
+    for i in range(len(poses)):
+        A = T_ego_inv @ _pose_to_T(poses[i])
+        C = np.linalg.inv(A) @ M @ A
+        pts = out["agent_points"][i]
+        xyz = pts[:, :3] @ C[:3, :3].T + C[:3, 3]
+        out["agent_points"][i][:, :3] = xyz
     gt = out["gt_boxes"]
-    gt[:, :2] = gt[:, :2] @ R.T
+    gt[:, :2] = gt[:, :2] @ M[:2, :2].T
     gt[:, 6] += ang
 
     # global scale

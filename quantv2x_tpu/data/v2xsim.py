@@ -34,13 +34,15 @@ def _quat_to_rot(w, x, y, z):
 
 
 def tfm_to_pose(T):
-    """4x4 -> [x, y, z, roll, pitch, yaw] degrees (the reference's
-    transformation_utils.tfm_to_pose convention: x_to_world(pose) == T)."""
+    """4x4 -> [x, y, z, roll, yaw, pitch] degrees — the frame contract's
+    pose order (np_pose_to_world reads yaw at index 4, pitch at 5;
+    transformation.py:130). Satisfies np_pose_to_world(tfm_to_pose(T)) == T
+    for rotations in this Euler family."""
     yaw = np.degrees(np.arctan2(T[1, 0], T[0, 0]))
     pitch = np.degrees(np.arctan2(-T[2, 0],
                                   np.sqrt(T[2, 1] ** 2 + T[2, 2] ** 2)))
     roll = np.degrees(np.arctan2(T[2, 1], T[2, 2]))
-    return np.array([T[0, 3], T[1, 3], T[2, 3], roll, pitch, yaw],
+    return np.array([T[0, 3], T[1, 3], T[2, 3], roll, yaw, pitch],
                     np.float32)
 
 
@@ -98,6 +100,8 @@ class V2XSIMDataset:
         self.train = train
         self.data_root = data_root
         self.require_lidar_hit = require_lidar_hit
+        self._seed = seed
+        self._epoch = 0
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -111,14 +115,17 @@ class V2XSIMDataset:
     def reinitialize(self):
         """Reshuffle which agent plays ego next epoch (reference
         reinitialize:84-124 permutes cav order during training)."""
-        self._rng = np.random.default_rng(self._rng.integers(2 ** 31))
+        self._epoch += 1
 
     def __getitem__(self, idx: int):
         scene = self.info[idx]
         n = int(scene["agent_num"])
         cav_ids = list(range(1, n + 1))
         if self.train:
-            cav_ids = list(1 + self._rng.permutation(n))
+            # per-(epoch, index) rng: deterministic under PrefetchLoader
+            # worker threads (shared np Generators are not thread-safe)
+            rng = np.random.default_rng((self._seed, self._epoch, idx))
+            cav_ids = list(1 + rng.permutation(n))
         cav_ids = cav_ids[: self.max_cav]
 
         A, P = self.max_cav, self.max_points

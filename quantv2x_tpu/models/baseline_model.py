@@ -20,7 +20,11 @@ from quantv2x_tpu.models.collab_model import (
     ShrinkConv,
 )
 from quantv2x_tpu.models.fusion_lib import FUSION_REGISTRY
-from quantv2x_tpu.models.pillar_encoder import PillarVFE, scatter_to_bev
+from quantv2x_tpu.models.pillar_encoder import (
+    PillarVFE,
+    encode_pillar_bev,
+    scatter_to_bev,
+)
 from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
 
 
@@ -54,20 +58,9 @@ class BaselineFusionModel(nn.Module):
 
     def __call__(self, batch, train: bool = False):
         c = self.cfg
-        vf = batch["voxel_features"]
-        B, L, V, P, F = vf.shape
-        pillar = self.vfe(
-            vf.reshape(B * L * V, P, F),
-            batch["voxel_coords"].reshape(B * L * V, 3),
-            batch["voxel_num_points"].reshape(B * L * V),
-            train,
-        ).reshape(B * L, V, -1)
-        nx, ny, _ = c.voxel.grid_size
-        bev = jax.vmap(
-            lambda f, co, m: scatter_to_bev(f, co, m, (ny, nx))
-        )(pillar, batch["voxel_coords"].reshape(B * L, V, 3),
-          batch["voxel_mask"].reshape(B * L, V))
-        feat = self.backbone(bev, train)
+        B, L = batch["voxel_features"].shape[:2]
+        feat = encode_pillar_bev(self.vfe, self.backbone, batch,
+                                 c.voxel.grid_size, train)
         feat = feat.reshape(B, L, *feat.shape[1:])
         if self.compressor is not None:
             feat, _ = self.compressor(feat, train)

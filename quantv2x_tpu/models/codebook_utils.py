@@ -56,9 +56,14 @@ def reassign_dead_codes(params, codebook_stats, rng,
                 total_dead += dead
                 if dead:
                     sub = _get(new_params, prefix + (k,))
+                    # zlib.crc32, not hash(): str hashing is salted per
+                    # process, which would make reassignment diverge
+                    # across runs and across multi-host replicas
+                    import zlib
+                    salt = zlib.crc32("/".join(prefix + (k,)).encode())
                     sub["codebook"] = reassign_level(
                         v["codebook"], freq,
-                        jax.random.fold_in(rng, hash(k) % (2 ** 31)),
+                        jax.random.fold_in(rng, salt % (2 ** 31)),
                     )
             elif isinstance(v, dict):
                 walk(v, stats, prefix + (k,))

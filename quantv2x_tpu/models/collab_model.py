@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from quantv2x_tpu.data.voxelizer import VoxelCfg
 from quantv2x_tpu.models.bev_backbone import ResNetBEVBackbone
 from quantv2x_tpu.models.layers import ConvBNReLU
-from quantv2x_tpu.models.pillar_encoder import PillarVFE, scatter_to_bev
+from quantv2x_tpu.models.pillar_encoder import (
+    PillarVFE,
+    encode_pillar_bev,
+    scatter_to_bev,
+)
 from quantv2x_tpu.models.pyramid_fusion import PyramidFusion, project_to_ego
 from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
 
@@ -143,24 +147,11 @@ class PyramidCollabModel(nn.Module):
         (B, L, H/2, W/2, C) agent BEV features.
         """
         c = self.cfg
-        vf = batch["voxel_features"]
-        B, L, V, P, F = vf.shape
-        # all agents' pillars in ONE GEMM batch (the reference likewise stacks
-        # every agent's voxels along dim 0) — MXU-friendly
-        pillar_feats = self.vfe(
-            vf.reshape(B * L * V, P, F),
-            batch["voxel_coords"].reshape(B * L * V, 3),
-            batch["voxel_num_points"].reshape(B * L * V),
-            train,
-        ).reshape(B * L, V, -1)
-        nx, ny, _ = c.voxel.grid_size
-        bev = jax.vmap(
-            lambda f, co, m: scatter_to_bev(f, co, m, (ny, nx))
-        )(pillar_feats,
-          batch["voxel_coords"].reshape(B * L, V, 3),
-          batch["voxel_mask"].reshape(B * L, V))
-        # conv backbone over the flat agent batch
-        feat = self.backbone(bev, train)          # (B*L, H/2, W/2, C)
+        B, L = batch["voxel_features"].shape[:2]
+        # all agents' pillars in ONE GEMM batch (the reference likewise
+        # stacks every agent's voxels along dim 0) — MXU-friendly
+        feat = encode_pillar_bev(self.vfe, self.backbone, batch,
+                                 c.voxel.grid_size, train)
         return feat.reshape(B, L, *feat.shape[1:])
 
     def fuse_and_predict(self, agent_feats, batch, train: bool = False):

@@ -305,7 +305,11 @@ class GenCommCollabModel(nn.Module):
                 (B, L) + msg.shape[1:3] + (1,)).astype(msg.dtype)
             keep = keep.at[:, 0].set(1.0)
             msg = msg * keep.reshape(B * L, *msg.shape[1:3], 1)
-        ddpm = self.gencomm.denoise_loss(flat, msg, rng, train)
+        # the DDPM objective is a full extra denoiser pass — training only
+        # (the denoiser's params are created by reconstruct/generate below
+        # either way, so init at train=False still builds the full tree)
+        ddpm = (self.gencomm.denoise_loss(flat, msg, rng, train)
+                if train else jnp.float32(0.0))
         if sample:
             recon = self.gencomm.generate(msg, flat.shape,
                                           jax.random.fold_in(rng, 4))

@@ -29,7 +29,11 @@ from quantv2x_tpu.models.collab_model import (
     ShrinkConv,
 )
 from quantv2x_tpu.models.layers import ConvBNReLU
-from quantv2x_tpu.models.pillar_encoder import PillarVFE, scatter_to_bev
+from quantv2x_tpu.models.pillar_encoder import (
+    PillarVFE,
+    encode_pillar_bev,
+    scatter_to_bev,
+)
 from quantv2x_tpu.models.pyramid_fusion import PyramidFusion, project_to_ego
 from quantv2x_tpu.models.second_encoder import SECONDEncoder, SecondCfg
 from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
@@ -167,18 +171,9 @@ class HeterCollabModel(nn.Module):
         vf = batch["voxel_features"]
         B, L, V, P, F = vf.shape
         if mod.core_method == "point_pillar":
-            pillar = self.encoders[mod.name](
-                vf.reshape(B * L * V, P, F),
-                batch["voxel_coords"].reshape(B * L * V, 3),
-                batch["voxel_num_points"].reshape(B * L * V),
-                train,
-            ).reshape(B * L, V, -1)
-            nx, ny, _ = c.voxel.grid_size
-            bev = jax.vmap(
-                lambda f, co, m: scatter_to_bev(f, co, m, (ny, nx))
-            )(pillar, batch["voxel_coords"].reshape(B * L, V, 3),
-              batch["voxel_mask"].reshape(B * L, V))
-            feat = self.backbones[mod.name](bev, train)
+            feat = encode_pillar_bev(self.encoders[mod.name],
+                                     self.backbones[mod.name], batch,
+                                     c.voxel.grid_size, train)
         elif mod.core_method in ("lift_splat_shoot", "camera", "lss"):
             imgs = batch["camera_imgs"]          # (B, L, N_cam, H, W, 3)
             feats = [

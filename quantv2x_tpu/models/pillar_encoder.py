@@ -135,3 +135,30 @@ class PointPillarEncoder(nn.Module):
         return scatter_to_bev(
             feats, voxels["voxel_coords"], voxels["voxel_mask"], (ny, nx)
         )
+
+
+def encode_pillar_bev(vfe, backbone, batch, grid_size, train: bool):
+    """Shared pillar pipeline: VFE (one GEMM over every agent's voxels) ->
+    BEV scatter -> conv backbone. batch leaves are (B, L, V, ...);
+    returns (B*L, h, w, C).
+
+    Single source of truth for the reshape/scatter/masking conventions —
+    used by PyramidCollabModel, BaselineFusionModel, and the heter
+    point_pillar branch.
+    """
+    import jax
+
+    vf = batch["voxel_features"]
+    B, L, V, P, F = vf.shape
+    pillar = vfe(
+        vf.reshape(B * L * V, P, F),
+        batch["voxel_coords"].reshape(B * L * V, 3),
+        batch["voxel_num_points"].reshape(B * L * V),
+        train,
+    ).reshape(B * L, V, -1)
+    nx, ny, _ = grid_size
+    bev = jax.vmap(
+        lambda f, co, m: scatter_to_bev(f, co, m, (ny, nx))
+    )(pillar, batch["voxel_coords"].reshape(B * L, V, 3),
+      batch["voxel_mask"].reshape(B * L, V))
+    return backbone(bev, train)

@@ -123,7 +123,12 @@ class PixorBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, fuse_cb=None):
+        """fuse_cb(feat, level_name) -> feat, applied to c3/c4/c5 before
+        the top-down decode — the intermediate-fusion insertion point
+        (any submodule the callback calls nests under this backbone)."""
+        if fuse_cb is None:
+            fuse_cb = lambda f, _name: f  # noqa: E731
         bias = not self.use_bn
         x = ConvBNReLU(32, 3, use_bn=self.use_bn, use_bias=bias,
                        dtype=self.dtype, name="stem1")(x, train)
@@ -143,12 +148,16 @@ class PixorBackbone(nn.Module):
         c3 = stage(c2, 48, 6, "block3")
         c4 = stage(c3, 64, 6, "block4")
         c5 = stage(c4, 96, 3, "block5")
+        # taps feed the LATERALS only; stages keep the per-agent stream
+        f3 = fuse_cb(c3, "fusion3")
+        f4 = fuse_cb(c4, "fusion4")
+        f5 = fuse_cb(c5, "fusion5")
 
-        l5 = nn.Conv(196, (1, 1), dtype=self.dtype, name="lat5")(c5)
-        l4 = nn.Conv(128, (1, 1), dtype=self.dtype, name="lat4")(c4)
+        l5 = nn.Conv(196, (1, 1), dtype=self.dtype, name="lat5")(f5)
+        l4 = nn.Conv(128, (1, 1), dtype=self.dtype, name="lat4")(f4)
         p5 = l4 + nn.ConvTranspose(128, (2, 2), strides=(2, 2),
                                    dtype=self.dtype, name="deconv1")(l5)
-        l3 = nn.Conv(96, (1, 1), dtype=self.dtype, name="lat3")(c3)
+        l3 = nn.Conv(96, (1, 1), dtype=self.dtype, name="lat3")(f3)
         p4 = l3 + nn.ConvTranspose(96, (2, 2), strides=(2, 2),
                                    dtype=self.dtype, name="deconv2")(p5)
         return p4
@@ -304,27 +313,10 @@ class PIXORIntermediate(nn.Module):
         dt = jnp.dtype(self.cfg.dtype)
         B, L = bev_inputs.shape[:2]
         flat = bev_inputs.reshape((B * L,) + bev_inputs.shape[2:]).astype(dt)
-        bias = not self.cfg.use_bn
-
-        x = ConvBNReLU(32, 3, use_bn=self.cfg.use_bn, use_bias=bias,
-                       dtype=dt, name="stem1")(flat, train)
-        c1 = ConvBNReLU(32, 3, use_bn=self.cfg.use_bn, use_bias=bias,
-                        dtype=dt, name="stem2")(x, train)
-
-        def stage(h, planes, blocks, name):
-            h = PixorBottleneck(planes, strides=2, use_bn=self.cfg.use_bn,
-                                dtype=dt, name=f"{name}_0")(h, train)
-            for i in range(1, blocks):
-                h = PixorBottleneck(planes, use_bn=self.cfg.use_bn,
-                                    dtype=dt, name=f"{name}_{i}")(h, train)
-            return h
-
-        c2 = stage(c1, 24, 3, "block2")
-        c3 = stage(c2, 48, 6, "block3")
-        c4 = stage(c3, 64, 6, "block4")
-        c5 = stage(c4, 96, 3, "block5")
 
         def fuse(feat, name):
+            # (B*L, h, w, ch) per-agent lateral -> AttFusion across agents
+            # (proj-first rasters: identity fusion affine)
             _, h, w, ch = feat.shape
             grouped = feat.reshape(B, L, h, w, ch)
             ident = jnp.tile(
@@ -333,17 +325,8 @@ class PIXORIntermediate(nn.Module):
             return AttFusion(ch, dtype=dt, name=name)(
                 grouped, agent_mask, ident, train)
 
-        f3 = fuse(c3, "fusion3")     # (B, h3, w3, 192)
-        f4 = fuse(c4, "fusion4")
-        f5 = fuse(c5, "fusion5")
-
-        l5 = nn.Conv(196, (1, 1), dtype=dt, name="lat5")(f5)
-        l4 = nn.Conv(128, (1, 1), dtype=dt, name="lat4")(f4)
-        p5 = l4 + nn.ConvTranspose(128, (2, 2), strides=(2, 2),
-                                   dtype=dt, name="deconv1")(l5)
-        l3 = nn.Conv(96, (1, 1), dtype=dt, name="lat3")(f3)
-        p4 = l3 + nn.ConvTranspose(96, (2, 2), strides=(2, 2),
-                                   dtype=dt, name="deconv2")(p5)
+        p4 = PixorBackbone(self.cfg.use_bn, dtype=dt, name="backbone")(
+            flat, train, fuse_cb=fuse)
         cls, reg = PixorHeader(self.cfg.use_bn, dtype=dt, name="header")(
             p4, train)
         return {"cls": cls.astype(jnp.float32),

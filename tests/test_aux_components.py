@@ -38,6 +38,41 @@ def test_augment_keeps_consistency(frame):
                            frame["gt_boxes"][frame["gt_mask"]])
 
 
+def test_augment_scene_matches_gt_transform(frame):
+    """The labels' transform must equal the INPUT scene's transform in the
+    ego frame — the bug class where GT rotates but the model input doesn't
+    (poses alone can't rotate the scene: pairwise transforms are invariant
+    to global rigid motions)."""
+    from quantv2x_tpu.data.dataset import _pose_to_T
+
+    seed = 3
+    aug = augment_frame(frame, np.random.default_rng(seed),
+                        flip=(), scale_range=(1.0, 1.0))
+    # replay the rng to recover the rotation angle the augmenter drew
+    ang = np.random.default_rng(seed).uniform(-0.785, 0.785)
+    c, s = np.cos(ang), np.sin(ang)
+    M = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+    T_ego_inv = np.linalg.inv(_pose_to_T(frame["agent_poses"][0]))
+    for i in range(int(frame["agent_mask"].sum())):
+        # poses must be untouched (pairwise transforms stay valid)
+        np.testing.assert_allclose(aug["agent_poses"][i],
+                                   frame["agent_poses"][i])
+        A = T_ego_inv @ _pose_to_T(frame["agent_poses"][i])
+        m = frame["agent_points_mask"][i]
+        to_ego = lambda pts: pts[m][:, :3] @ A[:3, :3].T + A[:3, 3]
+        want = to_ego(frame["agent_points"][i]) @ M.T
+        got = to_ego(aug["agent_points"][i])
+        np.testing.assert_allclose(got, want, atol=1e-3)
+    # and GT moved by the same M
+    gm = frame["gt_mask"]
+    np.testing.assert_allclose(aug["gt_boxes"][gm][:, :2],
+                               frame["gt_boxes"][gm][:, :2] @ M[:2, :2].T,
+                               atol=1e-4)
+    np.testing.assert_allclose(aug["gt_boxes"][gm][:, 6],
+                               frame["gt_boxes"][gm][:, 6] + ang, atol=1e-5)
+
+
 def test_pose_noise_only_hits_collaborators(frame):
     rng = np.random.default_rng(1)
     noisy = add_pose_noise(frame, NoiseCfg(pos_std=0.5, rot_std=2.0), rng)

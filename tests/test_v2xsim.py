@@ -115,7 +115,13 @@ class TestDataset:
         T = _yaw_T(1.0, 2.0, 3.0, 0.7)
         pose = tfm_to_pose(T)
         np.testing.assert_allclose(pose[:3], [1.0, 2.0, 3.0], atol=1e-6)
-        assert pose[5] == pytest.approx(np.degrees(0.7), abs=1e-4)
+        # frame-contract order: yaw at index 4 (np_pose_to_world reads it
+        # there — a pitch/yaw swap warps collaborators around the wrong axis)
+        assert pose[4] == pytest.approx(np.degrees(0.7), abs=1e-4)
+        assert pose[5] == pytest.approx(0.0, abs=1e-4)
+        # the real invariant: pose_to_world(tfm_to_pose(T)) == T
+        from quantv2x_tpu.utils.transformation import np_pose_to_world
+        np.testing.assert_allclose(np_pose_to_world(pose), T, atol=1e-5)
 
     def test_train_permutes_ego(self, tmp_path):
         p = _make_fixture(tmp_path, n_scenes=1, agent_num=4)
