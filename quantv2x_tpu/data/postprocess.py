@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from quantv2x_tpu.data.anchors import decode_deltas
 from quantv2x_tpu.utils import box_utils as bu
+from quantv2x_tpu.utils.common import limit_period
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,9 +66,9 @@ def decode_detections(cls_preds, reg_preds, anchors, cfg: PostprocessCfg,
         dir_labels = jnp.argmax(dlogits, axis=-1).astype(boxes.dtype)
         period = 2 * jnp.pi / num_dir_bins
         yaw = boxes[:, 6]
-        dir_rot = yaw - dir_offset - jnp.floor((yaw - dir_offset) / period) * period
+        dir_rot = limit_period(yaw - dir_offset, 0.0, period)
         yaw = dir_rot + dir_offset + period * dir_labels
-        yaw = yaw - jnp.floor(yaw / (2 * jnp.pi) + 0.5) * (2 * jnp.pi)
+        yaw = limit_period(yaw, 0.5, 2 * jnp.pi)
         boxes = boxes.at[:, 6].set(yaw)
 
     keep = scores > cfg.score_threshold
@@ -91,7 +92,11 @@ def decode_detections(cls_preds, reg_preds, anchors, cfg: PostprocessCfg,
     ok = (
         top_valid
         & bu.mask_large_boxes(corners)
-        & bu.mask_abnormal_z(corners, cfg.gt_range[2], cfg.gt_range[5] + 1.0)
+        # wide band: the parity target (box_utils_mc.remove_bbx_abnormal_z)
+        # is deliberately near-a-no-op (+/-100) for curvy roads; a tight
+        # gt_range band dropped valid detections on slopes/overpasses
+        & bu.mask_abnormal_z(corners, cfg.gt_range[2] - 3.0,
+                             cfg.gt_range[5] + 3.0)
     )
     nms_keep = bu.nms_corners(corners, top_scores, ok, cfg.nms_threshold)
     final = nms_keep & bu.mask_boxes_range(corners, cfg.gt_range)

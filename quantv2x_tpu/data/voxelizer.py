@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,7 +65,15 @@ def voxelize(points, points_mask, cfg: VoxelCfg):
     SENTINEL = nx * ny  # invalid points sort to the end
     pid = jnp.where(in_range, gy * nx + gx, SENTINEL)
 
-    order = jnp.argsort(pid, stable=True)
+    # sort pillars by a BIJECTIVE hash of pid, not pid itself: pillar
+    # slots are assigned in sort order, so at max_voxels overflow a raw
+    # pid sort would always drop the highest-y band of the grid. The odd
+    # multiplier mod a power of two is a bijection on [0, M), keeping
+    # equal pids contiguous while spreading the overflow drop uniformly
+    # over the map (the reference's capacity cap is likewise unbiased).
+    M = 1 << max(int(np.ceil(np.log2(max(nx * ny, 2)))), 1)
+    key = jnp.where(in_range, (pid * jnp.int32(-1640531535)) & (M - 1), M)
+    order = jnp.argsort(key, stable=True)
     pid_s = pid[order]
     pts_s = points[order]
     valid_s = pid_s < SENTINEL

@@ -36,18 +36,6 @@ def make_mesh(n_data: Optional[int] = None, n_agent: int = 1, devices=None):
     return Mesh(arr, axis_names=("data", "agent"))
 
 
-def batch_sharding(mesh: Mesh):
-    """Shardings for the collab batch dict: frames over data, agents over agent."""
-    def spec_for(path_leaf_ndim):
-        name, ndim = path_leaf_ndim
-        if name in ("gt_boxes", "gt_classes", "gt_mask"):
-            return P("data")
-        if ndim >= 2:
-            return P("data", "agent")
-        return P("data")
-    return spec_for
-
-
 def shard_batch(mesh: Mesh, batch):
     """Place a batch dict onto the mesh with (data, agent) sharding."""
     out = {}

@@ -31,6 +31,12 @@ def save_checkpoint(run_dir: str, epoch: int, state, best_val: Optional[float] =
         marker = os.path.join(run_dir, "best")
         with open(marker, "w") as f:
             f.write(f"{epoch} {best_val}\n")
+        # parity: the reference deletes the superseded best checkpoint
+        # (train.py:181-215 removes the old net_epoch_bestval_at file)
+        if prev_best_epoch is not None and prev_best_epoch != epoch:
+            old = _ckpt_dir(run_dir, prev_best_epoch)
+            if os.path.exists(old):
+                shutil.rmtree(old)
     return path
 
 

@@ -157,7 +157,9 @@ def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
         new_extra = {k: v for k, v in mutated.items() if k != "batch_stats"}
         return TrainState(
             params=new_params,
-            batch_stats=mutated["batch_stats"],
+            # .get: norm-free models (LayerNorm/GroupNorm only) have no
+            # batch_stats collection to mutate
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
             opt_state=new_opt,
             step=state.step + 1,
             extra_vars={**extra, **new_extra},

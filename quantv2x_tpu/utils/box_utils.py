@@ -13,15 +13,18 @@ Box layout: (N, 7) with ``order`` either
   'lwh': [x, y, z, l, w, h, yaw]   or   'hwl': [x, y, z, h, w, l, yaw].
 Internally everything is converted to lwh. yaw is rotation about +z (radians).
 
-The rotated-polygon intersection is a fixed-iteration Sutherland–Hodgman clip
-(convex quad vs convex quad => at most 8 vertices), so it vectorizes/vmaps and
-compiles to straight-line XLA code — no dynamic shapes, no host fallback.
+The rotated-polygon intersection is the sort-free candidate-points scheme
+(corners-in-other-quad + the 16 edge-pair intersections, angular successors
+via masked argmin, one-hot matmul gathers — see
+_quad_intersection_area_batch): fixed shapes, no argsorts, straight-line XLA.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+
+from quantv2x_tpu.utils.common import round_up
 
 # 8-corner template in box-local frame, unit box, matches reference ordering:
 # bottom face 0-3 (z=-1/2), top face 4-7 (z=+1/2); BEV footprint is CCW.
@@ -117,57 +120,16 @@ def iou_matrix_axis_aligned(boxes_a, boxes_b, eps: float = 0.0):
 
 
 # ---------------------------------------------------------------------------
-# Rotated (BEV) IoU via fixed-size Sutherland–Hodgman polygon clipping
+# Rotated (BEV) IoU via sort-free convex quad intersection
 # ---------------------------------------------------------------------------
 
-_MAX_CLIP_VERTS = 8  # convex quad ∩ convex quad has <= 8 vertices
+_MAX_CLIP_VERTS = 8  # padded polygon buffer: quad ∩ quad has <= 8 vertices
 
 
 def box_to_bev_quad(boxes, order: str = "lwh"):
     """(N, 7) -> (N, 4, 2) CCW BEV footprint corners."""
     corners = boxes_to_corners_3d(boxes, order)
     return corners[..., :4, :2]
-
-
-def _clip_against_edge(verts, count, p1, p2):
-    """Clip CCW polygon (verts[:count]) against half-plane left of p1->p2.
-
-    verts: (V, 2) padded buffer; count: scalar int. Returns new (verts, count).
-    Fixed V iterations; fully branch-free.
-    """
-    V = verts.shape[0]
-    edge = p2 - p1
-    rel = verts - p1
-    # signed distance (positive = inside for CCW clip polygon)
-    dist = edge[0] * rel[:, 1] - edge[1] * rel[:, 0]
-
-    idx = jnp.arange(V)
-    nxt = jnp.where(idx + 1 >= count, 0, idx + 1)
-    d_cur = dist
-    d_nxt = dist[nxt]
-    v_cur = verts
-    v_nxt = verts[nxt]
-    valid = idx < count
-
-    cur_in = d_cur >= 0
-    nxt_in = d_nxt >= 0
-    t = d_cur / jnp.where(jnp.abs(d_cur - d_nxt) < 1e-12, 1e-12, d_cur - d_nxt)
-    inter = v_cur + t[:, None] * (v_nxt - v_cur)
-
-    # each input edge emits up to 2 vertices: (current if inside), (intersection
-    # if the edge crosses the boundary)
-    emit_cur = valid & cur_in
-    emit_int = valid & (cur_in ^ nxt_in)
-    out_verts = jnp.zeros((2 * V, 2), verts.dtype)
-    out_mask = jnp.zeros((2 * V,), bool)
-    out_verts = out_verts.at[0::2].set(v_cur).at[1::2].set(inter)
-    out_mask = out_mask.at[0::2].set(emit_cur).at[1::2].set(emit_int)
-
-    # compact: stable sort emitted vertices to the front (preserves CCW order)
-    perm = jnp.argsort(~out_mask, stable=True)
-    out_verts = out_verts[perm]
-    new_count = out_mask.sum()
-    return out_verts[:V], jnp.minimum(new_count, V)
 
 
 def _polygon_area(verts, count):
@@ -337,7 +299,7 @@ def nms_rotated(boxes, scores, valid_mask, iou_thresh: float):
     order = jnp.argsort(jnp.where(valid_mask, -scores, jnp.inf), stable=True)
     sboxes = boxes[order]
     svalid = valid_mask[order]
-    n8 = ((n + 7) // 8) * 8
+    n8 = round_up(n, 8)
     if n8 != n:  # alignment: see nms_corners
         sboxes = jnp.zeros((n8, 7), sboxes.dtype).at[:n].set(sboxes)
         svalid = jnp.zeros((n8,), bool).at[:n].set(svalid)
@@ -357,12 +319,12 @@ def nms_corners(corners, scores, valid_mask, iou_thresh: float,
                 prefilter_top_k: int = 128):
     """NMS on (N, 8, 3) corner boxes (post-projection path).
 
-    Two-stage for speed: exact rotated-polygon IoU is only computed among the
-    ``prefilter_top_k`` highest-score candidates (quadratic polygon clipping
-    is the dominant decode cost); lower-ranked boxes are suppressed against
-    the kept set using cheap axis-aligned standup IoU with a conservative
-    threshold (a rotated box pair with polygon IoU > t always has standup
-    IoU > t/2 on these aspect ratios).
+    Two-stage for speed: exact rotated-polygon IoU is only computed among
+    the ``prefilter_top_k`` highest-score candidates (quadratic polygon
+    clipping is the dominant decode cost); lower-ranked boxes run a cheap
+    axis-aligned standup-IoU NMS — against the kept top set and then
+    greedily among themselves (near-duplicate boxes have standup IoU ~
+    polygon IoU, so the same threshold applies).
     """
     n = corners.shape[0]
     order = jnp.argsort(jnp.where(valid_mask, -scores, jnp.inf), stable=True)
@@ -370,7 +332,7 @@ def nms_corners(corners, scores, valid_mask, iou_thresh: float,
     svalid = valid_mask[order]
     # keep every polygon-IoU operand size a multiple of 8: the tunneled TPU
     # backend kernel-faults on this program at unaligned leading dims
-    n8 = ((n + 7) // 8) * 8
+    n8 = round_up(n, 8)
     if n8 != n:
         scorners = jnp.zeros((n8, 8, 3), scorners.dtype).at[:n].set(scorners)
         svalid = jnp.zeros((n8,), bool).at[:n].set(svalid)
@@ -387,12 +349,27 @@ def nms_corners(corners, scores, valid_mask, iou_thresh: float,
     keep_top = jax.lax.fori_loop(0, k, body, svalid[:k])
 
     if k < n8:
-        # tail boxes: suppress against kept top boxes via standup IoU
+        # tail boxes (rank > prefilter_top_k): cheap standup-IoU stage.
+        # Full iou_thresh, NOT a halved one — near-duplicates of the same
+        # object have standup IoU ~ polygon IoU >> t, while a halved
+        # threshold wrongly suppressed genuinely distinct neighbors
+        # (standup IoU of two cars parked 2.5 m apart easily exceeds t/2).
         su_top = corners_to_standup_2d(top)
         su_tail = corners_to_standup_2d(scorners[k:])
         iou_tail = iou_matrix_axis_aligned(su_tail, su_top)
-        covered = (iou_tail * keep_top[None, :] > iou_thresh * 0.5).any(axis=1)
-        keep_tail = svalid[k:] & ~covered
+        covered = (iou_tail * keep_top[None, :] > iou_thresh).any(axis=1)
+        surv = svalid[k:] & ~covered
+        # greedy pass among the tail itself — without it, duplicates of a
+        # tail-only object (no kept top box overlaps them) all survive
+        m = n8 - k
+        iou_tt = iou_matrix_axis_aligned(su_tail, su_tail)
+
+        def tail_body(i, keep):
+            alive = keep[i] & surv[i]
+            suppress = (iou_tt[i] > iou_thresh) & (jnp.arange(m) > i) & alive
+            return keep & ~suppress
+
+        keep_tail = jax.lax.fori_loop(0, m, tail_body, surv)
         keep_sorted = jnp.concatenate([keep_top, keep_tail])
     else:
         keep_sorted = keep_top

@@ -120,3 +120,29 @@ class TestModelForward:
             np.asarray(out2["cls_preds"]), np.asarray(out3["cls_preds"]),
             atol=1e-4,
         )
+
+
+def test_voxelizer_overflow_drop_is_spatially_unbiased():
+    """When pillar count exceeds max_voxels, the dropped pillars must not
+    all come from one side of the grid (a raw pid-sorted slot assignment
+    always blanked the highest-y band)."""
+    from quantv2x_tpu.data.voxelizer import VoxelCfg, voxelize
+
+    rng_range = (-19.2, -19.2, -3.0, 19.2, 19.2, 1.0)
+    cfg = VoxelCfg(lidar_range=rng_range, voxel_size=(0.4, 0.4, 4.0),
+                   max_points_per_voxel=4, max_voxels=512)
+    # one point per pillar over a 96x96 grid: 9216 pillars >> 512 slots
+    g = np.linspace(-19.0, 19.0, 96)
+    xx, yy = np.meshgrid(g, g)
+    pts = np.stack([xx.ravel(), yy.ravel(),
+                    np.zeros(96 * 96), np.full(96 * 96, 0.5)], 1)
+    out = voxelize(jnp.asarray(pts, jnp.float32),
+                   jnp.ones(len(pts), bool), cfg)
+    vm = np.asarray(out["voxel_mask"])
+    assert vm.sum() == 512
+    gy = np.asarray(out["voxel_coords"])[vm][:, 1]
+    # kept pillars span the y range instead of clustering at low y
+    assert gy.min() < 24 and gy.max() > 72
+    # roughly uniform: both halves get a meaningful share
+    lo = (gy < 48).mean()
+    assert 0.3 < lo < 0.7
