@@ -72,7 +72,6 @@ def main():
     @jax.jit
     def e2e(variables, batch):
         out = model.apply(variables, batch, train=False)
-        S = mcfg.anchor_num * mcfg.num_class
         det = decode_detections(
             out["cls_preds"][0], out["reg_preds"][0], anchors, pp_cfg,
             dir_preds=out["dir_preds"][0],
@@ -93,7 +92,7 @@ def main():
     REP = 4
     n_chain = len(batches) * REP
 
-    def make_chain(mdl, cfg_m):
+    def make_chain(mdl):
         @jax.jit
         def chain(v, sb):
             def body(carry, b):
@@ -107,7 +106,7 @@ def main():
             return acc
         return chain
 
-    chain = make_chain(model, mcfg)
+    chain = make_chain(model)
     _ = float(chain(variables, stacked))  # compile
     times = []
     for _ in range(3):
@@ -129,7 +128,7 @@ def main():
 
         _, fused_apply = build_fused_engine(model, variables, h_tile=16,
                                             min_channels=0)
-        chain_f = make_chain(_FusedModel(), mcfg)
+        chain_f = make_chain(_FusedModel())
         _ = float(chain_f(variables, stacked))
         times_f = []
         for _ in range(3):
@@ -169,7 +168,7 @@ def main():
         model_b = PyramidCollabModel(mcfg_b)
         vars_b = jax.jit(lambda b: model_b.init(jax.random.PRNGKey(0), b,
                                                 train=False))(batch)
-        chain_b = make_chain(model_b, mcfg_b)
+        chain_b = make_chain(model_b)
         _ = float(chain_b(vars_b, stacked))
         times_b = []
         for _ in range(3):

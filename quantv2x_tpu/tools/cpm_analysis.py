@@ -89,7 +89,10 @@ def decompress_coords(blob: bytes, coord_bits: int = 11) -> np.ndarray:
     n, = struct.unpack("<I", raw[:4])
     lo = np.frombuffer(raw[4:16], np.float32)
     span = np.frombuffer(raw[16:28], np.float32)
-    q = np.frombuffer(raw[28:28 + n * 6], np.uint16).reshape(n, 3)
+    # dtype must mirror compress_point_cloud's coord_bits switch
+    dt = np.uint16 if coord_bits <= 16 else np.uint32
+    nbytes = n * 3 * np.dtype(dt).itemsize
+    q = np.frombuffer(raw[28:28 + nbytes], dt).reshape(n, 3)
     return lo + q.astype(np.float64) / (2 ** coord_bits - 1) * span
 
 

@@ -192,7 +192,8 @@ def main():
     if args.run_dir:
         state, epoch = ckpt.restore_checkpoint(args.run_dir, state)
         print(f"[inference] loaded epoch {epoch}")
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = {"params": state.params, "batch_stats": state.batch_stats,
+                 **dict(state.extra_vars)}
 
     def emit(summary, lat, n_frames, **extra):
         out = {"ap": summary, "mean_latency_s": round(lat, 4),
@@ -204,6 +205,10 @@ def main():
                 json.dump(out, f, default=float)
 
     if contract in ("voxels", "early", "late"):
+        if args.quant != "none" or args.engine != "none":
+            raise SystemExit(
+                f"--quant/--engine drive the collab contract; "
+                f"{contract!r} models run FP only here")
         summary, lat = run_eval_single(model, variables, test_frames, hypes,
                                        contract, frame_vox)
         emit(summary, lat, len(test_frames), quant="none", mode=contract)

@@ -123,6 +123,9 @@ def main():
         rng_aug = np.random.default_rng(123)
         frames += [augment_frame(f, rng_aug) for f in frames]
     batches = [frame_to_batch(f, hypes.voxel, max_cav=max_cav) for f in frames]
+    if not batches:
+        raise SystemExit("no training frames (check --synthetic / root_dir)")
+    batch_size = min(batch_size, len(batches))
     # pre-stack fixed groups once (device-resident); epochs shuffle group
     # order only — avoids per-epoch eager concatenation over the TPU tunnel
     groups = [
@@ -164,7 +167,8 @@ def main():
             pass
 
     anchor_pack = anc.generate_anchors(hypes.anchors)
-    step = jax.jit(make_train_step(model, tx, anchor_pack, hypes.loss))
+    step = jax.jit(make_train_step(model, tx, anchor_pack, hypes.loss,
+                                   trainable_predicate=trainable))
 
     # multi-chip: shard batches over a (data, agent) mesh; XLA inserts the
     # gradient all-reduce (replaces the reference's DDP/NCCL, train_ddp.py)

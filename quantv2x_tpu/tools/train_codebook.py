@@ -66,6 +66,7 @@ def main():
     ]
     batches = [frame_to_batch(f, hypes.voxel, max_cav=args.max_cav)
                for f in frames]
+    args.batch_size = min(args.batch_size, max(len(batches), 1))
     groups = [
         stack_batches(*batches[i:i + args.batch_size])
         for i in range(0, len(batches) - args.batch_size + 1, args.batch_size)
@@ -85,22 +86,37 @@ def main():
         init_rngs={"gumbel": jax.random.PRNGKey(11)},
     )
 
-    # restore the previous stage's detection weights (codebook params keep
-    # their fresh init — check_missing_key-style partial load,
-    # train_utils.py:145-168). Stage-1 checkpoints have no compressor
-    # subtree, so restore into a compressor-less twin state first.
+    # restore the previous stage's weights (check_missing_key-style
+    # partial load, train_utils.py:145-168).
+    #   stage 2: --stage1_dir is a stage-1 run — no compressor subtree,
+    #     so restore into a compressor-less twin and keep the codebook's
+    #     fresh init;
+    #   stage 3: --stage1_dir is a stage-2 run — the checkpoint HAS the
+    #     trained codebook, which co-training must start from (restoring
+    #     into the compressor-less twin would silently drop it and train
+    #     detection weights against random codewords).
     if args.stage1_dir:
-        base_model = PyramidCollabModel(mcfg)
-        base_state, _ = create_train_state(
-            base_model, jax.random.PRNGKey(0), groups[0], optim
-        )
-        prev, epoch = ckpt.restore_checkpoint(args.stage1_dir, base_state)
-        merged = dict(state.params)
-        for k in merged:
-            if k in prev.params and k != "compressor":
-                merged[k] = prev.params[k]
-        state = state.replace(params=merged, batch_stats=prev.batch_stats)
-        print(f"[codebook] loaded stage-1 weights from epoch {epoch}")
+        if args.stage == 3:
+            prev, epoch = ckpt.restore_checkpoint(args.stage1_dir, state)
+            state = prev
+            assert "compressor" in state.params, (
+                "--stage 3 expects a stage-2 run dir (with trained "
+                "codebook); got a checkpoint without a compressor subtree")
+        else:
+            base_model = PyramidCollabModel(mcfg)
+            base_state, _ = create_train_state(
+                base_model, jax.random.PRNGKey(0), groups[0], optim
+            )
+            prev, epoch = ckpt.restore_checkpoint(args.stage1_dir,
+                                                  base_state)
+            merged = dict(state.params)
+            for k in merged:
+                if k in prev.params and k != "compressor":
+                    merged[k] = prev.params[k]
+            state = state.replace(params=merged,
+                                  batch_stats=prev.batch_stats)
+        print(f"[codebook] loaded stage-{args.stage - 1} weights from "
+              f"epoch {epoch}")
 
     anchor_pack = anc.generate_anchors(hypes.anchors)
     step = jax.jit(make_train_step(model, tx, anchor_pack, hypes.loss))

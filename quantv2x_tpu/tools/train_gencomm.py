@@ -76,6 +76,7 @@ def main():
     ]
     batches = [frame_to_batch(f, hypes.voxel, max_cav=args.max_cav)
                for f in frames]
+    args.batch_size = min(args.batch_size, max(len(batches), 1))
     groups = [
         stack_batches(*batches[i:i + args.batch_size])
         for i in range(0, len(batches) - args.batch_size + 1, args.batch_size)

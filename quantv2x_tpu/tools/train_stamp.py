@@ -86,6 +86,7 @@ def main():
     n_val = max(len(batches) // 5, 1)
     val_groups = [stack_batches(*batches[:n_val])]
     train_b = batches[n_val:]
+    args.batch_size = min(args.batch_size, max(len(batches), 1))
     groups = [
         stack_batches(*train_b[i:i + args.batch_size])
         for i in range(0, len(train_b) - args.batch_size + 1, args.batch_size)
@@ -173,9 +174,11 @@ def main():
             writer.scalars({"Validate_Loss": v}, epoch)
             line["val_loss"] = round(v, 5)
             if v < best_val:
+                prev_best = best_epoch
                 best_val, best_epoch = v, epoch
-                ckpt.save_checkpoint(args.run_dir, epoch, state,
-                                     best_val=v)
+                ckpt.save_checkpoint(
+                    args.run_dir, epoch, state, best_val=v,
+                    prev_best_epoch=prev_best if prev_best >= 0 else None)
         print(f"[stamp] {line}")
         with open(log_path, "a") as f:
             f.write(json.dumps(line) + "\n")

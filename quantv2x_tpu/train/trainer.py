@@ -14,6 +14,7 @@ import functools
 from typing import Any, Optional
 
 import flax
+from flax.traverse_util import flatten_dict, unflatten_dict
 import jax
 import jax.numpy as jnp
 import optax
@@ -114,8 +115,16 @@ def assign_batch_targets(batch, anchor_pack):
 
 
 def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
-                    occ_supervision: bool = True):
-    """Returns a jit-compatible (state, batch) -> (state, metrics) function."""
+                    occ_supervision: bool = True,
+                    trainable_predicate=None):
+    """Returns a jit-compatible (state, batch) -> (state, metrics) function.
+
+    trainable_predicate (same callable as create_train_state's): when
+    given, batch_stats of FROZEN scopes keep their old values instead of
+    absorbing current-data statistics — otherwise a frozen donor branch
+    (--init_from + --trainable) silently drifts from the donor even
+    though its weights never update (the reference avoids this by
+    putting fix_modules in eval())."""
 
     def loss_fn(params, batch_stats, extra_vars, batch, labels, rng):
         variables = {"params": params, "batch_stats": batch_stats, **extra_vars}
@@ -155,11 +164,20 @@ def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_extra = {k: v for k, v in mutated.items() if k != "batch_stats"}
+        # .get: norm-free models (LayerNorm/GroupNorm only) have no
+        # batch_stats collection to mutate
+        new_bs = mutated.get("batch_stats", state.batch_stats)
+        if trainable_predicate is not None and state.batch_stats:
+            flat_old = flatten_dict(state.batch_stats)
+            flat_new = flatten_dict(new_bs)
+            kept = {
+                k: (v if trainable_predicate("/".join(k)) else flat_old[k])
+                for k, v in flat_new.items()
+            }
+            new_bs = unflatten_dict(kept)
         return TrainState(
             params=new_params,
-            # .get: norm-free models (LayerNorm/GroupNorm only) have no
-            # batch_stats collection to mutate
-            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            batch_stats=new_bs,
             opt_state=new_opt,
             step=state.step + 1,
             extra_vars={**extra, **new_extra},
