@@ -125,3 +125,28 @@ def test_ptq_lss_camera():
     # random-noise images on a random-init net produce an ~88%-sparse BEV;
     # per-tensor act quant on that worst case still tracks FP
     _check_ptq(model, variables, batches, thresh=0.9)
+
+
+def test_adaround_sequential_on_multicall_units():
+    """Sequential AdaRound on a model whose encoder units run once per
+    agent (SECOND loops B*L): FP-output capture must stay aligned with
+    the first-call input capture instead of pairing inputs with outputs
+    of unrelated agent calls."""
+    from quantv2x_tpu.models.second_encoder import SecondIntermediate
+    from quantv2x_tpu.quant.adaround import ReconCfg, adaround_reconstruct
+
+    vcfg = VoxelCfg(lidar_range=RANGE, voxel_size=(0.4, 0.4, 0.5),
+                    max_points_per_voxel=5, max_voxels=512)
+    model = SecondIntermediate(ModelCfg(voxel=vcfg, max_cav=2),
+                               layer_nums=(1,), num_filters=(32,),
+                               num_upsample_filters=(32,))
+    batches = _batches(vcfg)
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
+    )(batches[0])
+    qvars, act_scales, qapply = adaround_reconstruct(
+        model, variables, batches[:2],
+        rcfg=ReconCfg(iters=10, sequential=True))
+    fp = model.apply(variables, batches[2], train=False)
+    q = qapply(qvars, act_scales, batches[2])
+    assert _corr(fp["cls_preds"], q["cls_preds"]) > 0.9
