@@ -52,38 +52,57 @@ def decode_detections(cls_preds, reg_preds, anchors, cfg: PostprocessCfg,
     """
     H, W, S, _ = anchors.shape
     C = cfg.num_classes
-    prob = jax.nn.sigmoid(cls_preds.reshape(H * W * S, C))
-    scores = prob.max(axis=-1)
-    labels = prob.argmax(axis=-1).astype(jnp.int32) + 1
 
-    deltas = reg_preds.reshape(H * W * S, 7)
-    boxes = decode_deltas(deltas, anchors.reshape(-1, 7))  # (N, 7) hwl
+    # --- gather-first decode (TPU layout discipline) ---
+    # The reference decodes every anchor then masks; a naive port reshapes
+    # the (H, W, S*7) head outputs to (H*W*S, 7) — a pathological relayout
+    # (7-lane rows use 5% of the VPU) that measured ~4 ms/frame in context.
+    # Instead: per-slot scores via max-over-class (sigmoid is monotonic, so
+    # max(sigmoid(x)) == sigmoid(max(x))), top-K on the flat score map,
+    # then gather the K candidate rows and run ALL box math on (K, ...).
+    logits_max = cls_preds.reshape(H, W, S, C).max(axis=-1)
+    scores_map = jax.nn.sigmoid(logits_max)                 # (H, W, S)
+    keep = scores_map > cfg.score_threshold
+
+    # static top-K prefilter replaces dynamic masked_select. Exact top_k,
+    # NOT approx_max_k: the approximate partial-reduction path measured
+    # 2.7 ms/frame in context on this backend vs 0.2 ms for exact top_k
+    # (scripts/drive_decode_ctx3.py ablation).
+    K = cfg.pre_nms_top_k
+    masked_scores = jnp.where(keep, scores_map, -1.0).reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, K)
+    top_valid = top_scores > 0
+    hi = top_idx // (W * S)
+    rem = top_idx % (W * S)
+    wi = rem // S
+    si = rem % S
+
+    cls_rows = cls_preds[hi, wi]                            # (K, S*C)
+    top_logits = jnp.take_along_axis(
+        cls_rows, si[:, None] * C + jnp.arange(C)[None, :], axis=1)
+    top_labels = top_logits.argmax(axis=-1).astype(jnp.int32) + 1
+
+    reg_rows = reg_preds[hi, wi]                            # (K, S*7)
+    deltas = jnp.take_along_axis(
+        reg_rows, si[:, None] * 7 + jnp.arange(7)[None, :], axis=1)
+    top_anchors = anchors[hi, wi, si]                       # (K, 7)
+    top_boxes = decode_deltas(deltas.astype(jnp.float32), top_anchors)
 
     if dir_preds is not None:
         # direction classifier fixes the yaw bin (parity:
         # voxel_postprocessor.post_process:325-336)
-        dlogits = dir_preds.reshape(H * W * S, num_dir_bins)
-        dir_labels = jnp.argmax(dlogits, axis=-1).astype(boxes.dtype)
+        dir_rows = dir_preds[hi, wi]                        # (K, S*bins)
+        dlogits = jnp.take_along_axis(
+            dir_rows,
+            si[:, None] * num_dir_bins + jnp.arange(num_dir_bins)[None, :],
+            axis=1)
+        dir_labels = jnp.argmax(dlogits, axis=-1).astype(top_boxes.dtype)
         period = 2 * jnp.pi / num_dir_bins
-        yaw = boxes[:, 6]
+        yaw = top_boxes[:, 6]
         dir_rot = limit_period(yaw - dir_offset, 0.0, period)
         yaw = dir_rot + dir_offset + period * dir_labels
         yaw = limit_period(yaw, 0.5, 2 * jnp.pi)
-        boxes = boxes.at[:, 6].set(yaw)
-
-    keep = scores > cfg.score_threshold
-
-    # static top-K prefilter replaces dynamic masked_select; approx_max_k
-    # uses the TPU-optimized partial-reduction path (exact top_k sorts the
-    # whole 600k-score map)
-    K = cfg.pre_nms_top_k
-    masked_scores = jnp.where(keep, scores, -1.0)
-    top_scores, top_idx = jax.lax.approx_max_k(
-        masked_scores, K, recall_target=0.95
-    )
-    top_valid = top_scores > 0
-    top_boxes = boxes[top_idx]
-    top_labels = labels[top_idx]
+        top_boxes = top_boxes.at[:, 6].set(yaw)
 
     corners = bu.boxes_to_corners_3d(top_boxes, cfg.order)  # (K, 8, 3)
     if transform is not None:

@@ -1,0 +1,173 @@
+"""INT8 fused-block kernel + engine tests (interpret mode, CPU).
+
+Layers:
+  1. kernel vs pure-XLA integer oracle — exact (same int math);
+  2. engine vs FP model — close (int8 quantization noise only);
+  3. chain-splitting invariance — one call vs VMEM-split sub-runs agree.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantv2x_tpu.models.layers import ResNetModified
+from quantv2x_tpu.ops import int8_fused_block as ifb
+from quantv2x_tpu.quant import int8_fused_engine as ife
+from quantv2x_tpu.quant.fused_engine import (grouped_to_blockdiag,
+                                             grouped_to_superblocks)
+
+
+def _rand_grid(rng, lo=0.0, hi=6.0):
+    d, zp = ife._grid(lo, hi)
+    return jnp.float32(d), jnp.float32(zp)
+
+
+def _mk_basic_block(rng, C, cmid, g_in, g_h1, g_out):
+    """Random quantized basic block + sb tables + meta row."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    w1q = jax.random.randint(k1, (3, 3, C, cmid), -127, 127, jnp.int8)
+    w2q = jax.random.randint(k2, (3, 3, cmid, C), -127, 127, jnp.int8)
+    dw1 = jax.random.uniform(k3, (cmid,), jnp.float32, 0.001, 0.01)
+    dw2 = jax.random.uniform(k4, (C,), jnp.float32, 0.001, 0.01)
+    b1 = jax.random.normal(k3, (cmid,)) * 0.1
+    b2 = jax.random.normal(k4, (C,)) * 0.1
+    s1 = g_in[0] * dw1
+    sb1 = jnp.stack([s1, b1 - g_in[1] * ife._ksum(w1q) * s1])
+    s2 = g_h1[0] * dw2
+    sb2 = jnp.stack([s2, b2 - g_h1[1] * ife._ksum(w2q) * s2])
+    meta = jnp.stack([g_in[0], g_in[1], 1.0 / g_h1[0], g_h1[1],
+                      1.0, 0.0, 1.0 / g_out[0], g_out[1]])
+    return (w1q, sb1, w2q, sb2), meta
+
+
+def _mk_bottleneck_block(rng, C, width, groups, g_in, g_h1, g_h2, g_out,
+                         super_pack):
+    ks = jax.random.split(rng, 6)
+    cpg = width // groups
+    w1q = jax.random.randint(ks[0], (C, width), -127, 127, jnp.int8)
+    w2g = jax.random.randint(ks[1], (3, 3, cpg, width), -127, 127,
+                             jnp.int8)
+    w3q = jax.random.randint(ks[2], (width, C), -127, 127, jnp.int8)
+    dw1 = jax.random.uniform(ks[3], (width,), jnp.float32, 0.001, 0.01)
+    dw2 = jax.random.uniform(ks[4], (width,), jnp.float32, 0.001, 0.01)
+    dw3 = jax.random.uniform(ks[5], (C,), jnp.float32, 0.001, 0.01)
+    b1 = jax.random.normal(ks[3], (width,)) * 0.1
+    b2 = jax.random.normal(ks[4], (width,)) * 0.1
+    b3 = jax.random.normal(ks[5], (C,)) * 0.1
+    if super_pack:
+        w2q = grouped_to_superblocks(w2g, groups)
+    else:
+        w2q = grouped_to_blockdiag(w2g, groups)
+    s1 = g_in[0] * dw1
+    sb1 = jnp.stack([s1, b1 - g_in[1] * ife._ksum(w1q) * s1])
+    ksum2 = w2g.astype(jnp.float32).sum(axis=(0, 1, 2))
+    s2 = g_h1[0] * dw2
+    sb2 = jnp.stack([s2, b2 - g_h1[1] * ksum2 * s2])
+    s3 = g_h2[0] * dw3
+    sb3 = jnp.stack([s3, b3 - g_h2[1] * ife._ksum(w3q) * s3])
+    meta = jnp.stack([g_in[0], g_in[1], 1.0 / g_h1[0], g_h1[1],
+                      1.0 / g_h2[0], g_h2[1], 1.0 / g_out[0], g_out[1]])
+    return (w1q, sb1, w2q, sb2, w3q, sb3), w2g, meta
+
+
+def _run_kernel(codes, blocks, metas, hwc, radius, h_tile=8):
+    H, W, C = hwc
+    K = len(blocks)
+    halo = K * radius
+    Wt = -(-(W + 2 * halo) // 32) * 32
+    ngrid = -(-H // h_tile)
+    R = ngrid * h_tile + 2 * halo
+    ezp0 = int(round(float(metas[0][1])))
+    sp = ifb.to_int8_chain_layout(codes, (h_tile, R, Wt, C), halo, ezp0)
+    yp = ifb.int8_fused_stack_chained(
+        sp, blocks, jnp.stack(metas), hwc, radius, h_tile=h_tile,
+        interpret=True)
+    return ifb.from_int8_chain_layout(yp, hwc, halo)
+
+
+class TestKernelVsOracle:
+    def test_basic_stack_exact(self):
+        rng = jax.random.PRNGKey(0)
+        C, cmid, H, W = 8, 8, 11, 13
+        g = [_rand_grid(rng, 0, 4 + i) for i in range(3)]
+        b0, m0 = _mk_basic_block(jax.random.fold_in(rng, 1), C, cmid,
+                                 g[0], _rand_grid(rng, 0, 5), g[1])
+        b1, m1 = _mk_basic_block(jax.random.fold_in(rng, 2), C, cmid,
+                                 g[1], _rand_grid(rng, 0, 7), g[2])
+        codes = jax.random.randint(rng, (2, H, W, C), -128, 127, jnp.int8)
+        got = _run_kernel(codes, (b0, b1), [m0, m1], (H, W, C), 2)
+        ref = ifb.int8_block_reference(codes, b0, m0, 2)
+        ref = ifb.int8_block_reference(ref, b1, m1, 2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    @pytest.mark.parametrize("super_pack", [False, True])
+    def test_bottleneck_stack_exact(self, super_pack):
+        rng = jax.random.PRNGKey(3)
+        C, width, groups, H, W = 8, 128, 32, 9, 10
+        g_in, g_mid = _rand_grid(rng, 0, 4), _rand_grid(rng, 0, 6)
+        g_out = _rand_grid(rng, 0, 5)
+        blk, w2g, meta = _mk_bottleneck_block(
+            rng, C, width, groups, g_in, _rand_grid(rng, 0, 3),
+            _rand_grid(rng, 0, 8), g_out, super_pack)
+        codes = jax.random.randint(rng, (1, H, W, C), -128, 127, jnp.int8)
+        got = _run_kernel(codes, (blk,), [meta], (H, W, C), 1)
+        oracle_blk = blk[:2] + (w2g,) + blk[3:]
+        ref = ifb.int8_block_reference(codes, oracle_blk, meta, 1,
+                                       groups=groups)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+class _TinyBackbone(nn.Module):
+    """Two-stage ResNetModified for engine tests."""
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = ResNetModified(
+            layer_nums=(2, 2), layer_strides=(1, 2), num_filters=(8, 16),
+            block="basic")(x, train)
+        return outs[-1]
+
+
+class TestEngine:
+    def _setup(self):
+        model = _TinyBackbone()
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (2, 16, 16, 8), jnp.float32)
+        variables = model.init(rng, x, train=False)
+        return model, variables, x
+
+    def test_engine_close_to_fp(self):
+        model, variables, x = self._setup()
+        batches = [x, x * 0.5]
+        tables, apply_fn = ife.build_int8_fused_engine(
+            model, variables, batches, interpret=True)
+        assert len(tables) >= 2, f"expected fusable blocks, got {tables}"
+        y_fp = model.apply(variables, x, train=False)
+        y_q = apply_fn(variables, x)
+        corr = np.corrcoef(np.asarray(y_fp).ravel(),
+                           np.asarray(y_q).ravel())[0, 1]
+        assert corr > 0.99, f"corr {corr}"
+
+    def test_split_invariance(self):
+        """One K=2 call == two K=1 calls (code-space chaining)."""
+        model, variables, x = self._setup()
+        tables, _ = ife.build_int8_fused_engine(
+            model, variables, [x], interpret=True)
+        run = [tables[p] for p in sorted(tables)
+               if ife._entry_cin(tables[p]) == 8]
+        assert len(run) == 2
+        apply_one = ife.make_int8_fused_apply(model, tables,
+                                              interpret=True)
+        full = apply_one(variables, x)
+
+        # force K=1 splits by shrinking the budget
+        orig = ifb._VMEM_BUDGET
+        try:
+            ifb._VMEM_BUDGET = 1  # forces K=1 and th=4
+            split = ife.make_int8_fused_apply(model, tables,
+                                              interpret=True)(variables, x)
+        finally:
+            ifb._VMEM_BUDGET = orig
+        np.testing.assert_allclose(np.asarray(full), np.asarray(split),
+                                   atol=1e-5)
