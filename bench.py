@@ -6,11 +6,21 @@ Pipeline measured (batch=1 frame, 2 agents, full V2X-Real grid 704x200):
 voxelized inputs -> pillar VFE -> BEV scatter -> backbone -> pyramid
 weighted fusion -> shrink -> heads -> decode+NMS, as one jitted program.
 
+Headline metric (north star, BASELINE.md): INT8 end-to-end frames/s/chip —
+the int8 fused-block Pallas engine (quant/int8_fused_engine), the
+framework's TensorRT-INT8-deployment analogue. bf16 stock / bf16 fused /
+proj_first arms are reported in detail for comparison.
+
 Baseline: the only in-repo reference number is the HEAL-era Pyramid
 ("STTR") 24.0 FPS on an unspecified GPU
 (/root/reference/opencood/visualization/ap_vs_fps_scatter_plot.py:19-27);
 vs_baseline = fps / 24.0. BASELINE.md records that QuantV2X publishes no
 reproducible numbers in-repo.
+
+Timing method: N distinct frames chained in ONE jit (scan), one scalar
+fetch — the tunneled backend memoizes identical (program, input) pairs and
+adds ~30 ms per CALL (not per step; scripts/drive_scanmode.py), so chains
+are long (64 frames) to keep the per-frame smear ~0.5 ms.
 """
 
 import json
@@ -49,8 +59,6 @@ def main():
         lidar_range=lidar_range, voxel_size=(0.4, 0.4, 4.0),
         feature_stride=2, classes=anc.V2XREAL_CLASSES,
     )
-    # several distinct frames: the tunneled backend memoizes identical
-    # (program, input) executions, so same-input timing loops lie
     frames = [
         make_frame(SyntheticCfg(
             lidar_range=lidar_range, num_agents=max_cav, num_objects=12,
@@ -78,25 +86,19 @@ def main():
         )
         return det
 
-    # compile + warmup
     t0 = time.time()
     det = jax.block_until_ready(e2e(variables, batch))
     compile_s = time.time() - t0
 
-    # primary measurement: scan-chain — N frames execute inside ONE jit
-    # (4 distinct inputs cycled; the tunneled backend memoizes identical
-    # (program, input) pairs and its block_until_ready is unreliable, so
-    # per-call loops both lie and pay a tunnel round trip per frame); one
-    # scalar fetch at the end forces real synchronization
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-    REP = 4
+    REP = 4 if small else 16
     n_chain = len(batches) * REP
 
-    def make_chain(mdl):
+    def make_chain(apply_fn):
         @jax.jit
         def chain(v, sb):
             def body(carry, b):
-                out = mdl.apply(v, b, train=False)
+                out = apply_fn(v, b)
                 det = decode_detections(
                     out["cls_preds"][0], out["reg_preds"][0], anchors,
                     pp_cfg, dir_preds=out["dir_preds"][0])
@@ -106,66 +108,67 @@ def main():
             return acc
         return chain
 
-    chain = make_chain(model)
-    _ = float(chain(variables, stacked))  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.time()
+    def bench_arm(apply_fn):
+        chain = make_chain(apply_fn)
         _ = float(chain(variables, stacked))
-        times.append(time.time() - t0)
-    stock_dt = min(times) / n_chain
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            _ = float(chain(variables, stacked))
+            times.append(time.time() - t0)
+        return min(times) / n_chain
 
-    # deployment path: BN-folded Pallas fused residual blocks (the
-    # TensorRT-vertical-fusion analogue, quant/fused_engine) — one HBM
-    # round trip per block on this BW-bound device
+    stock_dt = bench_arm(lambda v, b: model.apply(v, b, train=False))
+
+    # bf16 fused-block Pallas engine (TensorRT-vertical-fusion analogue)
     fused_dt = None
     try:
         from quantv2x_tpu.quant.fused_engine import build_fused_engine
-
-        class _FusedModel:
-            def apply(self, v, b, train=False):
-                return fused_apply(v, b)
-
         _, fused_apply = build_fused_engine(model, variables, h_tile=16,
                                             min_channels=0)
-        chain_f = make_chain(_FusedModel())
-        _ = float(chain_f(variables, stacked))
-        times_f = []
-        for _ in range(3):
-            t0 = time.time()
-            _ = float(chain_f(variables, stacked))
-            times_f.append(time.time() - t0)
-        fused_dt = min(times_f) / n_chain
+        fused_dt = bench_arm(lambda v, b: fused_apply(v, b))
     except Exception as e:
-        print(f"# fused engine path failed: {e}", flush=True)
+        print(f"# bf16 fused engine failed: {e}", flush=True)
 
-    # proj_first deployment variant: warp once before the pyramid instead
-    # of per level (reference pyramid_fuse_onnx mode) on the fused engine
+    # INT8 fused engine — the headline (north-star) path
+    int8_dt = None
+    int8_corr = None
+    try:
+        from quantv2x_tpu.quant.int8_fused_engine import \
+            build_int8_fused_engine
+        _, int8_apply = build_int8_fused_engine(
+            model, variables, batches[:2], h_tile=16)
+        int8_dt = bench_arm(lambda v, b: int8_apply(v, b))
+        o_s = jax.jit(lambda v, b: model.apply(v, b, train=False))(
+            variables, batch)
+        o_q = jax.jit(lambda v, b: int8_apply(v, b))(variables, batch)
+        int8_corr = float(np.corrcoef(
+            np.asarray(o_s["cls_preds"], np.float32).ravel(),
+            np.asarray(o_q["cls_preds"], np.float32).ravel())[0, 1])
+    except Exception as e:
+        print(f"# int8 fused engine failed: {e}", flush=True)
+
+    # proj_first deployment variant on the int8 engine
     pf_dt = None
     try:
         import dataclasses as _dc
+        from quantv2x_tpu.quant.int8_fused_engine import \
+            build_int8_fused_engine as _bie
 
         model_pf = PyramidCollabModel(_dc.replace(mcfg, proj_first=True))
-        # proj_first adds no params — reuse the same variables
-        _, pf_apply = build_fused_engine(model_pf, variables, h_tile=16,
-                                         min_channels=0)
-
-        class _PFModel:
-            def apply(self, v, b, train=False):
-                return pf_apply(v, b)
-
-        chain_p = make_chain(_PFModel())
-        _ = float(chain_p(variables, stacked))
-        times_p = []
-        for _ in range(3):
-            t0 = time.time()
-            _ = float(chain_p(variables, stacked))
-            times_p.append(time.time() - t0)
-        pf_dt = min(times_p) / n_chain
+        _, pf_apply = _bie(model_pf, variables, batches[:2], h_tile=16)
+        pf_dt = bench_arm(lambda v, b: pf_apply(v, b))
     except Exception as e:
-        print(f"# proj_first path failed: {e}", flush=True)
+        print(f"# proj_first int8 path failed: {e}", flush=True)
 
-    dt = min(d for d in (stock_dt, fused_dt, pf_dt) if d)
+    # headline = int8 e2e (fall back to best available if it failed)
+    candidates = [d for d in (int8_dt, pf_dt) if d]
+    if candidates:
+        dt = min(candidates)
+        metric = "int8_e2e_frames_per_sec_per_chip"
+    else:
+        dt = min(d for d in (stock_dt, fused_dt) if d)
+        metric = "fp_bf16_e2e_frames_per_sec_per_chip"
     fps = 1.0 / dt
 
     # secondary: per-call latency incl. host dispatch (serving round trip)
@@ -175,55 +178,37 @@ def main():
     for i in range(10):
         _ = float(trivial(jnp.float32(i)))
     fetch_overhead = (time.time() - t0) / 10
-    iters = 8
     percall = []
-    for i in range(iters):
+    for i in range(8):
         t0 = time.time()
         det = e2e(variables, batches[i % len(batches)])
         _ = float(det["scores"][0])
         percall.append(time.time() - t0)
-    # min resists intermittent multi-second tunnel stalls
     percall_ms = max(min(percall) - fetch_overhead, 1e-6) * 1e3
 
-    # also measure the reference's own resnext:false pyramid variant (dense
-    # 3x3 blocks — much better MXU utilization than 4-wide grouped convs)
-    fast_ms = None
-    try:
-        mcfg_b = ModelCfg(voxel=voxel, max_cav=max_cav, dtype="bfloat16",
-                          pyramid_block="basic")
-        model_b = PyramidCollabModel(mcfg_b)
-        vars_b = jax.jit(lambda b: model_b.init(jax.random.PRNGKey(0), b,
-                                                train=False))(batch)
-        chain_b = make_chain(model_b)
-        _ = float(chain_b(vars_b, stacked))
-        times_b = []
-        for _ in range(3):
-            t0 = time.time()
-            _ = float(chain_b(vars_b, stacked))
-            times_b.append(time.time() - t0)
-        fast_ms = round(min(times_b) / n_chain * 1e3, 2)
-    except Exception:
-        pass
-
     print(json.dumps({
-        "metric": "fp_bf16_e2e_frames_per_sec_per_chip",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 24.0, 3),
         "detail": {
             "compile_s": round(compile_s, 1),
             "latency_ms": round(dt * 1e3, 2),
-            "stock_latency_ms": round(stock_dt * 1e3, 2),
-            "fused_latency_ms": (round(fused_dt * 1e3, 2)
-                                 if fused_dt else None),
-            "proj_first_latency_ms": (round(pf_dt * 1e3, 2)
-                                      if pf_dt else None),
+            "stock_bf16_ms": round(stock_dt * 1e3, 2),
+            "bf16_fused_ms": (round(fused_dt * 1e3, 2)
+                              if fused_dt else None),
+            "int8_fused_ms": (round(int8_dt * 1e3, 2)
+                              if int8_dt else None),
+            "int8_proj_first_ms": (round(pf_dt * 1e3, 2)
+                                   if pf_dt else None),
+            "int8_cls_corr_vs_fp": (round(int8_corr, 5)
+                                    if int8_corr else None),
             "percall_ms": round(percall_ms, 2),
+            "chain_frames": n_chain,
             "grid": list(voxel.grid_size),
             "agents": max_cav,
             "backend": jax.default_backend(),
             "num_detections": int(np.asarray(det["valid"]).sum()),
-            "basic_block_latency_ms": fast_ms,
         },
     }))
 

@@ -43,7 +43,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+# empirically calibrated against Mosaic's actual allocator: the estimator
+# below overcounts transients ~1.7x (Mosaic reuses buffers), so the budget
+# is set where measured compiles still fit (stage2 K=7 th=16 = 21MB est)
+_VMEM_BUDGET = 22 * 1024 * 1024
 
 
 def _requant(y_f32, inv_d, ezp):

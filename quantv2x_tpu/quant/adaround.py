@@ -88,6 +88,17 @@ class ReconCfg:
     act_lr: float = 4e-5             # LSQ lr (inference_mc_quant.py:287)
     batch_size: int = 8192           # max samples per unit (0 = all)
     sequential: bool = True          # per-unit input re-capture (parity)
+    # --- prediction-level terms (parity: block_recon.py LossFunction
+    # :262-312 hetero KL + misalignment, pyramid_recon.py:61-85 heads from
+    # the reconstructed feature + SoftBoundingBoxLoss:382). Applied to
+    # units whose output feeds the detection heads (pred_unit_suffixes)
+    # when the model's head params are found next to them. ---
+    pred_terms: bool = True
+    pred_unit_suffixes: tuple = ("shrink/conv2",)
+    kl_T: float = 7.0                # softmax temperature (T=7.0)
+    feat_kl_weight: float = 0.2     # channel-softmax KL on unit outputs
+    pred_weight: float = 1.0        # lp misalignment on head predictions
+    box_weight: float = 0.02        # soft-box term on reg deltas (lamb_c)
 
 
 # ---------------------------------------------------------------------------
@@ -235,13 +246,64 @@ def _set_subtree(tree, path: Sequence[str], value):
     return dict(tree, **{path[0]: _set_subtree(tree[path[0]], path[1:], value)})
 
 
+def _soft_box_loss(rq, rf):
+    """SoftBoundingBoxLoss (pyramid_recon.py:382): weighted L2 on the six
+    position/size channels + (1 - cos) on the yaw channel, applied on reg
+    deltas reshaped (..., 7)."""
+    rq = rq.reshape(rq.shape[:-1] + (-1, 7))
+    rf = rf.reshape(rf.shape[:-1] + (-1, 7))
+    spatial = jnp.mean((rq[..., :6] - rf[..., :6]) ** 2)
+    angle = jnp.mean(1.0 - jnp.cos(rq[..., 6] - rf[..., 6]))
+    return spatial + angle
+
+
+def _channel_kl(y_q, y_fp, T):
+    """KL(softmax_c(fp/T) || softmax_c(q/T)) over the channel axis
+    (block_recon.py:283 'hetero' loss, KLDivLoss batchmean semantics)."""
+    lq = jax.nn.log_softmax(y_q.astype(jnp.float32) / T, axis=-1)
+    lf = jax.nn.log_softmax(y_fp.astype(jnp.float32) / T, axis=-1)
+    pf = jnp.exp(lf)
+    return jnp.mean(jnp.sum(pf * (lf - lq), axis=-1))
+
+
+def make_pred_loss(head_params, rcfg: "ReconCfg"):
+    """Prediction-level loss closure for a pre-head unit.
+
+    head_params: {"cls_head": (kernel, bias), "reg_head": ..., ...} (1x1
+    conv params). Returns fn(y_q, y_fp) -> scalar with the reference's
+    three terms: feature channel-KL, head-output misalignment, soft-box."""
+    def run_heads(y):
+        outs = {}
+        for name, (k, b) in head_params.items():
+            o = jnp.einsum("...c,cd->...d", y.astype(jnp.float32),
+                           k.reshape(k.shape[-2], k.shape[-1]))
+            outs[name] = o + (b if b is not None else 0.0)
+        return outs
+
+    def pred_loss(y_q, y_fp):
+        loss = rcfg.feat_kl_weight * _channel_kl(y_q, y_fp, rcfg.kl_T)
+        hq, hf = run_heads(y_q), run_heads(y_fp)
+        mis = sum(jnp.mean((hq[n] - hf[n]) ** 2) for n in hq)
+        loss = loss + rcfg.pred_weight * mis
+        if "cls_head" in hq:
+            loss = loss + rcfg.feat_kl_weight * _channel_kl(
+                hq["cls_head"], hf["cls_head"], rcfg.kl_T)
+        if "reg_head" in hq:
+            loss = loss + rcfg.box_weight * _soft_box_loss(
+                hq["reg_head"], hf["reg_head"])
+        return loss
+
+    return pred_loss
+
+
 def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
                      act_scale, inputs, fp_outputs, extra_args,
                      spec_w: QuantSpec, spec_a: QuantSpec, rcfg: ReconCfg,
-                     rng):
+                     rng, pred_loss=None):
     """Optimize rounding masks (+ act step) for one unit.
 
     fp_params: unit's FP param subtree. w_scales_local: {rel_path: (d, zp)}.
+    pred_loss: optional fn(y_q, y_fp) adding prediction-level terms.
     Returns (hard-rounded quantized unit params, learned act (delta, zp)).
     """
     flat_params = jax.tree_util.tree_flatten_with_path(fp_params)[0]
@@ -321,7 +383,10 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             y = spec_a.apply(y, d, act_zp)
         recon = jnp.mean(jnp.abs(y - y_fp) ** 2)
         rl = sum(round_loss(a, beta) for a in alphas_v.values()) / max(len(alphas_v), 1)
-        return recon + rcfg.round_weight * rl, recon
+        total = recon + rcfg.round_weight * rl
+        if pred_loss is not None:
+            total = total + pred_loss(y, y_fp)
+        return total, recon
 
     opt_vars = {"alphas": alphas}
     if act_delta is not None:
@@ -364,7 +429,10 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
         y = unit_apply(q_params, x)
         if act is not None:
             y = spec_a.apply(y, jnp.maximum(act[0], 1e-8), act[1])
-        return jnp.mean(jnp.abs(y - y_fp) ** 2)
+        err = jnp.mean(jnp.abs(y - y_fp) ** 2)
+        if pred_loss is not None:
+            err = err + pred_loss(y, y_fp)
+        return err
 
     new_act = (
         (jnp.maximum(opt_vars["act_delta"], 1e-8), act_zp)
@@ -400,6 +468,29 @@ def adaround_reconstruct(model, variables, calib_batches,
         store = capture_units(model, variables, qvars, act_scales,
                               calib_batches, cfg)
 
+    # locate detection-head 1x1 convs for the prediction-level terms: the
+    # subtree holding cls_head/reg_head/dir_head params (PyramidCollabModel
+    # and friends name them uniformly)
+    head_params = None
+    if rcfg.pred_terms:
+        def find_heads(tree, prefix=()):
+            if not isinstance(tree, dict):
+                return None
+            if "cls_head" in tree and isinstance(tree["cls_head"], dict) \
+                    and "kernel" in tree["cls_head"]:
+                return {
+                    n: (tree[n]["kernel"], tree[n].get("bias"))
+                    for n in ("cls_head", "reg_head", "dir_head")
+                    if n in tree
+                }
+            for k, v in tree.items():
+                got = find_heads(v, prefix + (k,))
+                if got is not None:
+                    return got
+            return None
+
+        head_params = find_heads(variables["params"])
+
     qparams = qvars["params"]
     for path_s, ent in store.items():
         if ent["module"] is None or not ent["outputs"]:
@@ -427,10 +518,15 @@ def adaround_reconstruct(model, variables, calib_batches,
         if not inputs:
             continue
         act = act_scales.get(path_s)
+        ploss = None
+        if head_params is not None and any(
+                path_s.endswith(s) for s in rcfg.pred_unit_suffixes):
+            ploss = make_pred_loss(head_params, rcfg)
         q_sub, new_act, recon = reconstruct_unit(
             ent["module"], fp_sub, bs_sub, w_local, act,
             inputs, ent["outputs"], extra_args,
             cfg.weight_spec, cfg.act_spec, rcfg, jax.random.PRNGKey(0),
+            pred_loss=ploss,
         )
         qparams = _set_subtree(qparams, rel, q_sub)
         if new_act is not None:

@@ -205,7 +205,11 @@ def make_fused_apply(model, tables, h_tile: int = 16,
         radius = 2 if kind == "basic" else 1
         while run:
             N, H, W, C = x.shape
-            K = len(run)
+            # (K, th) policy, measured on-chip (scripts/drive_tile_tune):
+            # cap chunks at 4 blocks, tile ~2x the halo — deep chunks at
+            # tiny tiles pay quadratic halo recompute ((7,)@th4 1.17 ms
+            # vs (4,3)@th8 0.71 ms on the stage2 shapes).
+            K = min(len(run), 4)
             th = 0
             while K >= 1:
                 widths = [
@@ -218,7 +222,7 @@ def make_fused_apply(model, tables, h_tile: int = 16,
                 halo = K * radius
                 Wt = -(-(W + 2 * halo) // 8) * 8
                 Cp = (-(-C // 128) * 128) if not interpret else C
-                th = min(h_tile, max(4, H))
+                th = min(h_tile, max(8, 2 * halo), max(4, H))
                 while th > 4 and fb._stack_vmem_bytes(
                         th, Wt, Cp, widths, radius,
                         w2_super=w2_super) > fb._VMEM_BUDGET:

@@ -253,7 +253,11 @@ def make_int8_fused_apply(model, tables, h_tile: int = 16,
         codes, g_cur = quantize_to_codes(x, run[0]["g_in"]), run[0]["g_in"]
         out_dtype = x.dtype
         while run:
-            K = len(run)
+            # (K, th) policy, measured on-chip (scripts/drive_tile_tune):
+            # deep chunks at tiny tiles pay quadratic halo recompute —
+            # cap chunks at 4 blocks and size the tile to ~2x the halo
+            # (stage2 K=7: (7,)@th4 1.11 ms -> (4,3)@th8 0.50 ms).
+            K = min(len(run), 4)
             th = 0
             while K >= 1:
                 widths = [
@@ -263,7 +267,7 @@ def make_int8_fused_apply(model, tables, h_tile: int = 16,
                 halo = K * radius
                 Wt = -(-(W + 2 * halo) // 32) * 32
                 Cp = (-(-C // 128) * 128) if not interpret else C
-                th = min(h_tile, max(4, H))
+                th = min(h_tile, max(8, 2 * halo), max(4, H))
                 while th > 4 and ifb.int8_stack_vmem_bytes(
                         th, Wt, Cp, widths, radius,
                         w2_super=w2_super) > ifb._VMEM_BUDGET:

@@ -116,6 +116,20 @@ class PTQConfig:
     # little saturation for a much finer grid — the single biggest AP lever
     # for per-tensor 8-bit activations on wide layers.
     act_percentile: float = 0.999
+    # observer backend:
+    #   "histogram" (default) — two passes: minmax then a fixed-range
+    #     histogram; the clip comes from the CDF (act_percentile) or a
+    #     KL/entropy search (entropy_clip=True). O(N) scatter-add per unit
+    #     instead of jnp.quantile's full sort — at the flagship grid a
+    #     unit's activation is ~10^7 elements and the sort dominated
+    #     calibration (parity: quant_layer.py:273-319 histogram observer).
+    #   "quantile" — single pass, exact two-sided jnp.quantile per batch.
+    observer: str = "histogram"
+    hist_bins: int = 512
+    # pick the clip by minimizing KL(original || quantized) over the
+    # histogram (TensorRT-entropy style; parity quant_layer.py 'entropy'
+    # scale_method) instead of the percentile CDF
+    entropy_clip: bool = False
 
 
 def make_observe_interceptor(cfg: PTQConfig):
@@ -214,6 +228,143 @@ def _flatten_obs(obs_tree, prefix=()):
     return out
 
 
+def make_hist_interceptor(cfg: PTQConfig, ranges):
+    """Interceptor sowing a fixed-range histogram of each unit's output.
+
+    Bin counts accumulate across batches via the sow reduce_fn; the range
+    comes from a prior minmax pass so bins are stable across batches."""
+    B = cfg.hist_bins
+
+    def interceptor(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        module = context.module
+        path_s = _path_str(module.path)
+        if (
+            context.method_name == "__call__"
+            and path_s in ranges
+            and isinstance(out, jax.Array)
+        ):
+            lo, hi = ranges[path_s]
+            width = max((hi - lo) / B, 1e-12)
+            idx = jnp.clip(
+                ((out.astype(jnp.float32).ravel() - lo) / width)
+                .astype(jnp.int32), 0, B - 1)
+            counts = jnp.zeros((B,), jnp.int32).at[idx].add(1)
+            module.sow("quant_obs", "hist", counts,
+                       init_fn=lambda: jnp.zeros((B,), jnp.int32),
+                       reduce_fn=lambda a, b: a + b)
+        return out
+
+    return interceptor
+
+
+def observe_histograms(model, variables, batches, cfg: PTQConfig, ranges,
+                       apply_fn: Optional[Callable] = None):
+    """{path: (bins,) counts} over fixed ranges from a prior minmax pass."""
+    hists: Dict[str, "jnp.ndarray"] = {}
+
+    def run(batch):
+        with nn.intercept_methods(make_hist_interceptor(cfg, ranges)):
+            if apply_fn is not None:
+                _, mut = apply_fn(variables, batch)
+            else:
+                _, mut = model.apply(
+                    variables, batch, train=False, mutable=["quant_obs"]
+                )
+        return mut["quant_obs"]
+
+    run_j = jax.jit(run)
+    for batch in batches:
+        obs = jax.device_get(run_j(batch))
+        for path_s, counts in _flatten_hist(obs).items():
+            if path_s in hists:
+                hists[path_s] = hists[path_s] + counts
+            else:
+                hists[path_s] = counts
+    return hists
+
+
+def _flatten_hist(obs_tree, prefix=()):
+    import numpy as np
+    out = {}
+    for k, v in obs_tree.items():
+        if k == "hist":
+            arr = v[0] if isinstance(v, tuple) else v
+            out[_path_str(prefix)] = np.asarray(arr, dtype=np.int64)
+        elif isinstance(v, dict):
+            out.update(_flatten_hist(v, prefix + (k,)))
+    return out
+
+
+def _percentile_clip_from_hist(counts, lo, hi, q):
+    """Two-sided percentile clip from the CDF of a fixed-range histogram."""
+    import numpy as np
+    B = counts.shape[0]
+    total = counts.sum()
+    if total == 0:
+        return lo, hi
+    edges = np.linspace(lo, hi, B + 1)
+    cdf = np.cumsum(counts) / total
+    lo_i = int(np.searchsorted(cdf, 1.0 - q))
+    hi_i = int(np.searchsorted(cdf, q))
+    return float(edges[min(lo_i, B - 1)]), float(edges[min(hi_i + 1, B)])
+
+
+def _entropy_clip_from_hist(counts, lo, hi, n_bits):
+    """KL-minimizing symmetric-ish clip search over the histogram (the
+    TensorRT IInt8EntropyCalibrator scheme; parity quant_layer.py:273-319).
+
+    Candidate clips are histogram-bin suffixes; for each, the clipped
+    distribution is re-binned to 2^n_bits levels and compared by KL."""
+    import numpy as np
+    B = counts.shape[0]
+    levels = 2 ** n_bits
+    if counts.sum() == 0 or B <= levels:
+        return lo, hi
+    p_full = counts.astype(np.float64)
+    best, best_kl = B, np.inf
+    for end in range(levels, B + 1, max((B - levels) // 32, 1)):
+        p = p_full[:end].copy()
+        outliers = p_full[end:].sum()
+        p[-1] += outliers
+        # quantize: merge bins into `levels` groups
+        group = end / levels
+        q = np.zeros(end)
+        for g in range(levels):
+            s, e = int(g * group), max(int((g + 1) * group), int(g * group) + 1)
+            seg = p_full[s:e]
+            nz = (seg > 0).sum()
+            if nz:
+                q[s:e] = np.where(seg > 0, seg.sum() / nz, 0)
+        pm = p / max(p.sum(), 1e-12)
+        qm = q / max(q.sum(), 1e-12)
+        mask = pm > 0
+        kl = float(np.sum(pm[mask] * np.log(pm[mask] /
+                                            np.maximum(qm[mask], 1e-12))))
+        if kl < best_kl:
+            best_kl, best = kl, end
+    edges = np.linspace(lo, hi, B + 1)
+    return lo, float(edges[best])
+
+
+def act_scales_from_histograms(hists, ranges, cfg: PTQConfig):
+    """Per-tensor (delta, zp) from histogram clips."""
+    from quantv2x_tpu.quant.quantizer import _delta_zp_from_range
+
+    scales = {}
+    for path_s, counts in hists.items():
+        lo, hi = ranges[path_s]
+        if cfg.entropy_clip:
+            clo, chi = _entropy_clip_from_hist(counts, lo, hi,
+                                               cfg.act_spec.n_bits)
+        else:
+            clo, chi = _percentile_clip_from_hist(counts, lo, hi,
+                                                  cfg.act_percentile)
+        scales[path_s] = _delta_zp_from_range(
+            jnp.float32(clo), jnp.float32(chi), cfg.act_spec.n_bits)
+    return scales
+
+
 def act_scales_from_ranges(ranges, cfg: PTQConfig):
     """Per-tensor (delta, zp) from observed ranges."""
     from quantv2x_tpu.quant.quantizer import _delta_zp_from_range
@@ -250,8 +401,16 @@ def ptq_calibrate(model, variables, calib_batches, cfg: PTQConfig = None,
         variables["params"], cfg.weight_spec, cfg.skip_scopes
     )
     qvariables = dict(variables, params=qparams)
-    ranges = observe_activations(model, variables, calib_batches, cfg)
-    act_scales = act_scales_from_ranges(ranges, cfg)
+    if cfg.observer == "histogram":
+        # pass 1: exact minmax fixes the bin range; pass 2: histogram
+        mm_cfg = dataclasses.replace(cfg, act_percentile=1.0)
+        ranges = observe_activations(model, variables, calib_batches, mm_cfg)
+        hists = observe_histograms(model, variables, calib_batches, cfg,
+                                   ranges)
+        act_scales = act_scales_from_histograms(hists, ranges, cfg)
+    else:
+        ranges = observe_activations(model, variables, calib_batches, cfg)
+        act_scales = act_scales_from_ranges(ranges, cfg)
     qapply = make_quantized_apply(model, cfg)
     if return_w_scales:
         return qvariables, act_scales, qapply, w_scales

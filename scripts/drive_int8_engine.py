@@ -49,8 +49,9 @@ def main():
                             max_detections=150)
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-    REP = 4
+    REP = int(os.environ.get("DRIVE_REP", "4"))
     n_chain = len(batches) * REP
+    skip_stock = os.environ.get("DRIVE_SKIP_STOCK", "0") == "1"
 
     def make_chain(apply_fn):
         @jax.jit
@@ -81,7 +82,7 @@ def main():
         return dt
 
     stock = lambda v, b: model.apply(v, b, train=False)
-    dt_stock = bench(stock, "stock bf16")
+    dt_stock = None if skip_stock else bench(stock, "stock bf16")
 
     # bf16 fused engine
     from quantv2x_tpu.quant.fused_engine import build_fused_engine
@@ -105,7 +106,8 @@ def main():
     bq = np.asarray(o_q["cls_preds"], np.float32).ravel()
     corr = np.corrcoef(a, bq)[0, 1]
     print(f"cls corr int8 vs stock: {corr:.5f}", flush=True)
-    print(f"summary: stock {dt_stock*1e3:.1f} fused {dt_fused*1e3:.1f} "
+    s = "" if dt_stock is None else f"stock {dt_stock*1e3:.1f} "
+    print(f"summary: {s}fused {dt_fused*1e3:.1f} "
           f"int8 {dt_int8*1e3:.1f} ms", flush=True)
 
 
