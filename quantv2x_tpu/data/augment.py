@@ -8,6 +8,38 @@ consistently to every agent's points, poses, and the GT boxes.
 import numpy as np
 
 
+class AugmentedSource:
+    """Wrap an index-able frame source with per-sample, per-epoch random
+    augmentation (parity: augmentor/data_augmentor.py applied inside
+    __getitem__ — a fresh draw every epoch, not a static doubling).
+
+    Deterministic per (seed, epoch, index) so PrefetchLoader worker
+    threads reproduce regardless of schedule. Camera frames pass through
+    un-augmented (geometric point/box aug would desync the camera rig).
+    """
+
+    def __init__(self, source, seed: int = 123, **aug_kwargs):
+        self.source = source
+        self.seed = seed
+        self.aug_kwargs = aug_kwargs
+        self._epoch = 0
+
+    def __len__(self):
+        return len(self.source)
+
+    def reinitialize(self):
+        self._epoch += 1
+        if hasattr(self.source, "reinitialize"):
+            self.source.reinitialize()
+
+    def __getitem__(self, i):
+        f = self.source[i]
+        if "camera_imgs" in f:
+            return f
+        rng = np.random.default_rng((self.seed, self._epoch, i))
+        return augment_frame(f, rng, **self.aug_kwargs)
+
+
 def augment_frame(frame, rng: np.random.Generator,
                   flip=("x",), rot_range=(-0.785, 0.785),
                   scale_range=(0.95, 1.05)):

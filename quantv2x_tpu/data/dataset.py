@@ -135,8 +135,18 @@ def scan_scenarios(root: str, dataset_mode: str = "vc", max_cav: int = 4):
                         if os.path.exists(cand):
                             lidar = cand
                             break
+                    # OPV2V camera rig: <ts>_camera{0..3}.png next to the
+                    # yaml (opv2v_basedataset.py:177-188 find_camera_files)
+                    cameras = []
+                    for ci in range(8):
+                        cand = os.path.join(cdir, f"{ts}_camera{ci}.png")
+                        if os.path.exists(cand):
+                            cameras.append(cand)
+                        else:
+                            break
                     entries[ts] = {
-                        "yaml": os.path.join(cdir, fn), "lidar": lidar
+                        "yaml": os.path.join(cdir, fn), "lidar": lidar,
+                        "cameras": cameras,
                     }
             cavs[cav] = entries
         common_ts = None
@@ -154,6 +164,47 @@ def scan_scenarios(root: str, dataset_mode: str = "vc", max_cav: int = 4):
 def _pose_to_T(pose):
     from quantv2x_tpu.utils.transformation import np_pose_to_world
     return np_pose_to_world(np.asarray(pose, np.float64))
+
+
+# UE4/CARLA camera frame -> OpenCV camera frame (x right, y down, z fwd);
+# parity: opv2v_basedataset.get_ext_int:506-518
+_UE4_TO_CV = np.array(
+    [[0, 0, 1, 0], [1, 0, 0, 0], [0, -1, 0, 0], [0, 0, 0, 1]], np.float64)
+
+
+def load_image(path: str, size) -> np.ndarray:
+    """PNG/JPG -> (H, W, 3) float32 in [0, 1], bilinear-resized to size."""
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    if size is not None and (img.height, img.width) != tuple(size):
+        img = img.resize((size[1], size[0]), Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def camera_rig_from_params(params, lidar_pose, num_cams, image_size):
+    """Per-camera (intrinsic (3,3), cam->lidar (4,4)) from yaml cameraN
+    entries, with intrinsics rescaled to the loaded image size.
+
+    Parity: opv2v_basedataset.get_ext_int:506-518 — camera_to_lidar =
+    x1_to_x2(camera cords, lidar pose) @ UE4->OpenCV axis swap."""
+    intr = np.zeros((num_cams, 3, 3), np.float32)
+    extr = np.tile(np.eye(4, dtype=np.float32), (num_cams, 1, 1))
+    T_lidar_inv = np.linalg.inv(_pose_to_T(lidar_pose))
+    for ci in range(num_cams):
+        cam = params.get(f"camera{ci}")
+        if cam is None:
+            continue
+        K = np.asarray(cam["intrinsic"], np.float32)
+        # native OPV2V frames are 600x800; rescale to the loaded size
+        native_h = float(cam.get("image_h", 600))
+        native_w = float(cam.get("image_w", 800))
+        K = K.copy()
+        K[0] *= image_size[1] / native_w
+        K[1] *= image_size[0] / native_h
+        intr[ci] = K
+        T_cam = _pose_to_T(cam["cords"])
+        extr[ci] = (T_lidar_inv @ T_cam @ _UE4_TO_CV).astype(np.float32)
+    return intr, extr
 
 
 def _objects_to_ego(params_list, T_ego_world_inv, max_objects):
@@ -203,12 +254,24 @@ class V2XDataset:
 
     def __init__(self, root: str, dataset_mode: str = "vc", max_cav: int = 4,
                  max_points: int = 60000, max_objects: int = 150,
-                 comm_range: float = 70.0, wild=None, seed: int = 0):
+                 comm_range: float = 70.0, wild=None, seed: int = 0,
+                 load_cameras: bool = False, num_cams: int = 4,
+                 image_size=(128, 352), modality_fn=None):
         self.scenarios = scan_scenarios(root, dataset_mode, max_cav)
         self.max_cav = max_cav
         self.max_points = max_points
         self.max_objects = max_objects
         self.comm_range = comm_range
+        # camera branch (parity: load_camera_file,
+        # opv2v_basedataset.py:54-65,275-293): images resized to
+        # image_size, intrinsics rescaled to match
+        self.load_cameras = load_cameras
+        self.num_cams = num_cams
+        self.image_size = tuple(image_size)
+        # heterogeneous assignment: (scenario_name, cav_id, position) ->
+        # modality index (parity: modality_assign JSON + heter_utils
+        # Adaptor; data/modality.ModalityAdaptor plugs in here)
+        self.modality_fn = modality_fn
         # time-delay simulation (parity: wild_setting async path,
         # v2xreal_basedataset.py:89-122; see data/noise_sim.WildCfg)
         self.wild = wild
@@ -257,7 +320,7 @@ class V2XDataset:
         # thread-safe and shared draws would depend on schedule order
         rng = np.random.default_rng((self._seed, idx))
 
-        params_list, lidars, poses = [], [], []
+        params_list, lidars, poses, cam_paths = [], [], [], []
         for ci, cav in enumerate(cav_ids):
             ts_cav = ts
             if self.wild is not None and ci > 0:
@@ -277,6 +340,7 @@ class V2XDataset:
                 load_lidar(entry["lidar"]) if entry["lidar"] else
                 np.zeros((0, 4), np.float32)
             )
+            cam_paths.append(entry.get("cameras") or [])
 
         # comm-range filter relative to ego (first cav)
         keep = [0]
@@ -287,6 +351,7 @@ class V2XDataset:
         params_list = [params_list[j] for j in keep]
         lidars = [lidars[j] for j in keep]
         poses = [poses[j] for j in keep]
+        cam_paths = [cam_paths[j] for j in keep]
 
         A, P = len(keep), self.max_points
         agent_points = np.zeros((self.max_cav, P, 4), np.float32)
@@ -304,7 +369,7 @@ class V2XDataset:
         gt_boxes, gt_classes, gt_mask = _objects_to_ego(
             params_list, T_ego_world_inv, self.max_objects
         )
-        return {
+        frame = {
             "agent_points": agent_points[: self.max_cav],
             "agent_points_mask": agent_points_mask[: self.max_cav],
             "agent_poses": agent_poses[: self.max_cav],
@@ -313,6 +378,32 @@ class V2XDataset:
             "gt_classes": gt_classes,
             "gt_mask": gt_mask,
         }
+        if self.modality_fn is not None:
+            mods = np.zeros((self.max_cav,), np.int32)
+            for a in range(min(A, self.max_cav)):
+                mods[a] = self.modality_fn(scen["name"],
+                                           cav_ids[keep[a]], a)
+            frame["agent_modality"] = mods
+        if self.load_cameras:
+            Hc, Wc = self.image_size
+            N = self.num_cams
+            imgs = np.zeros((self.max_cav, N, Hc, Wc, 3), np.float32)
+            intr = np.zeros((self.max_cav, N, 3, 3), np.float32)
+            rots = np.tile(np.eye(3, dtype=np.float32),
+                           (self.max_cav, N, 1, 1))
+            trans = np.zeros((self.max_cav, N, 3), np.float32)
+            for a in range(min(A, self.max_cav)):
+                ci_, ce_ = camera_rig_from_params(
+                    params_list[a], poses[a], N, self.image_size)
+                intr[a] = ci_
+                rots[a] = ce_[:, :3, :3]
+                trans[a] = ce_[:, :3, 3]
+                for ci in range(min(N, len(cam_paths[a]))):
+                    imgs[a, ci] = load_image(cam_paths[a][ci],
+                                             self.image_size)
+            frame.update(camera_imgs=imgs, camera_intrinsics=intr,
+                         camera_rots=rots, camera_trans=trans)
+        return frame
 
 
 class V2XSETDataset(V2XDataset):
@@ -363,5 +454,55 @@ def build_frame_source(hypes_raw: dict, split: str = "train",
     if hypes_raw.get("wild_setting", {}).get("async"):
         from quantv2x_tpu.data.noise_sim import WildCfg
         wild = WildCfg.from_hypes(hypes_raw["wild_setting"])
+    # camera branch on when the config's input_source lists cameras
+    # (parity: load_camera_file, opv2v_basedataset.py:54); image size
+    # comes from the camera modality's image_size when present
+    cam_kwargs = {}
+    heter = hypes_raw.get("heter", {}) or {}
+    setting = heter.get("modality_setting", {})
+    srcs = list(hypes_raw.get("input_source", ["lidar"]))
+    cam_methods = ("lift_splat_shoot", "camera", "lss")
+    has_cam_modality = any(
+        "camera" in str(m.get("sensor_type", ""))
+        or m.get("core_method") in cam_methods
+        for m in setting.values())
+    if "camera" in srcs or has_cam_modality:
+        image_size = (128, 352)
+        num_cams = 4
+        for m in setting.values():
+            if "camera" in str(m.get("sensor_type", "")) or \
+                    m.get("core_method") in cam_methods:
+                cam = m.get("img_params", {})
+                image_size = tuple(m.get("image_size",
+                                         cam.get("final_dim", image_size)))
+                num_cams = int(m.get("num_cams",
+                                     cam.get("num_cams", num_cams)))
+        cam_kwargs = dict(load_cameras=True, num_cams=num_cams,
+                          image_size=image_size)
+    modality_fn = None
+    if setting:
+        names = list(setting)
+        if heter.get("assignment_path"):
+            from quantv2x_tpu.data.modality import ModalityAdaptor
+            adaptor = ModalityAdaptor(
+                heter["assignment_path"], heter.get("ego_modality",
+                                                    names[0]),
+                heter.get("mapping_dict", {}), names)
+
+            def modality_fn(scen, cav, pos):
+                m = adaptor.modality_of(scen, cav)
+                return adaptor.index_of.get(m, 0)
+        else:
+            # no assignment JSON: ego gets ego_modality, collaborators
+            # round-robin the rest (deterministic synthetic assignment)
+            ego_i = names.index(heter.get("ego_modality", names[0])) \
+                if heter.get("ego_modality", names[0]) in names else 0
+            others = [i for i in range(len(names)) if i != ego_i] or [ego_i]
+
+            def modality_fn(scen, cav, pos):
+                if pos == 0:
+                    return ego_i
+                return others[(pos - 1) % len(others)]
     return V2XDataset(root, dataset_mode=dataset_mode, max_cav=max_cav,
-                      comm_range=comm, wild=wild)
+                      comm_range=comm, wild=wild, modality_fn=modality_fn,
+                      **cam_kwargs)

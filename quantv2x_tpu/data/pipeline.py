@@ -57,6 +57,9 @@ def frame_to_batch(frame, voxel_cfg: VoxelCfg, max_cav: int = 4):
               "camera_trans"):
         if k in frame:
             batch[k] = pad_agents(jnp.asarray(frame[k]))[None]
+    if "agent_modality" in frame:
+        batch["agent_modality"] = pad_agents(
+            jnp.asarray(frame["agent_modality"], jnp.int32))[None]
     return batch
 
 

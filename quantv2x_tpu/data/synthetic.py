@@ -47,8 +47,11 @@ def _surface_points(box_lwh, n, rng):
     return np.stack([x, y, z], axis=-1)
 
 
-def make_frame(cfg: SyntheticCfg):
+def make_frame(cfg: SyntheticCfg, return_world: bool = False):
     """Build one multi-agent frame.
+
+    return_world: also return (boxes_world (N, 7) hwl, classes (N,)) —
+    used by tools/make_synthetic_dataset.py to export OPV2V trees.
 
     Returns dict:
       agent_points: (L, P, 4) float32, agent-local frames
@@ -145,6 +148,8 @@ def make_frame(cfg: SyntheticCfg):
     }
     if cfg.num_cameras > 0:
         frame.update(_render_cameras(cfg, agent_points, agent_mask_pts))
+    if return_world:
+        return frame, (boxes_world, classes.astype(np.int32))
     return frame
 
 

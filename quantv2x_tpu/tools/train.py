@@ -57,13 +57,20 @@ def main():
     ap.add_argument("--augment", action="store_true",
                     help="apply flip/rotation/scale augmentation when generating frames")
     ap.add_argument("--mesh", default="", help="e.g. '4,2' = data4 x agent2")
+    ap.add_argument("--preload", action="store_true",
+                    help="legacy mode: load up to --max_frames once, "
+                    "voxelize once, keep groups device-resident (cheap "
+                    "over a remote-TPU tunnel but caps the epoch at "
+                    "--max_frames and freezes the augmentation draw). "
+                    "Default for --synthetic 0 is STREAMING: PrefetchLoader "
+                    "re-reads + re-augments + re-voxelizes every epoch "
+                    "(the reference DataLoader-worker path, train.py:57-72)")
     ap.add_argument("--epoch_reload", action="store_true",
-                    help="real-dataset mode: reinitialize() the dataset "
-                    "(per-epoch ego/cav reshuffle, the reference's "
-                    "train.py:219) and reload+revoxelize frames each "
-                    "epoch via PrefetchLoader. Off by default: re-uploads "
-                    "every frame per epoch, expensive over a remote-TPU "
-                    "tunnel")
+                    help=argparse.SUPPRESS)  # merged into default streaming
+    ap.add_argument("--val_frames", type=int, default=32,
+                    help="validation frames per val pass (0 = no val)")
+    ap.add_argument("--val_freq", type=int, default=1,
+                    help="validate every N epochs (best-val checkpointing)")
     ap.add_argument("--init_from", default="",
                     help="run dir to warm-start params/batch_stats from "
                          "(graft by leaf path; missing leaves keep init — "
@@ -101,6 +108,12 @@ def main():
             "contract model — use its dedicated driver/tests")
 
     # ---- data ------------------------------------------------------------
+    # three sources: synthetic in-memory frames, a dataset tree streamed
+    # per epoch (DEFAULT for --synthetic 0), or a dataset tree preloaded
+    # once (--preload, the remote-tunnel-friendly legacy mode)
+    ds = None
+    val_ds = None
+    streaming = False
     if args.synthetic:
         print(f"[train] generating {args.synthetic} synthetic frames...")
         frames = [
@@ -110,39 +123,84 @@ def main():
             ))
             for s in range(args.synthetic)
         ]
-    ds = None
-    if not args.synthetic:
+        if args.augment:
+            from quantv2x_tpu.data.augment import augment_frame
+            rng_aug = np.random.default_rng(123)
+            frames += [augment_frame(f, rng_aug) for f in frames]
+    else:
         from quantv2x_tpu.data.dataset import build_frame_source
         ds = build_frame_source(hypes.raw, "train", max_cav=max_cav)
-        n = min(len(ds), args.max_frames)
-        print(f"[train] loading {n}/{len(ds)} frames from "
-              f"{hypes.raw.get('root_dir')}")
-        frames = [ds[i] for i in range(n)]
-    if args.augment:
-        from quantv2x_tpu.data.augment import augment_frame
-        rng_aug = np.random.default_rng(123)
-        frames += [augment_frame(f, rng_aug) for f in frames]
-    batches = [frame_to_batch(f, hypes.voxel, max_cav=max_cav) for f in frames]
-    if not batches:
-        raise SystemExit("no training frames (check --synthetic / root_dir)")
-    batch_size = min(batch_size, len(batches))
-    # pre-stack fixed groups once (device-resident); epochs shuffle group
-    # order only — avoids per-epoch eager concatenation over the TPU tunnel
-    groups = [
-        stack_batches(*batches[i:i + batch_size])
-        for i in range(0, len(batches) - batch_size + 1, batch_size)
-    ]
+        if hypes.raw.get("validate_dir") and \
+                hypes.raw["validate_dir"] != hypes.raw.get("root_dir"):
+            try:
+                val_ds = build_frame_source(hypes.raw, "val",
+                                            max_cav=max_cav)
+            except FileNotFoundError:
+                val_ds = None
+        streaming = not args.preload
+        if streaming:
+            print(f"[train] streaming {len(ds)} frames/epoch from "
+                  f"{hypes.raw.get('root_dir')}")
+        else:
+            n = min(len(ds), args.max_frames)
+            print(f"[train] preloading {n}/{len(ds)} frames from "
+                  f"{hypes.raw.get('root_dir')}")
+            frames = [ds[i] for i in range(n)]
+            if args.augment:
+                from quantv2x_tpu.data.augment import augment_frame
+                rng_aug = np.random.default_rng(123)
+                frames += [augment_frame(f, rng_aug) for f in frames]
 
-    def batched(epoch_seed):
-        rng = np.random.default_rng(epoch_seed)
-        for j in rng.permutation(len(groups)):
-            yield groups[j]
+    if streaming:
+        from quantv2x_tpu.data.loader import PrefetchLoader
+        source = ds
+        if args.augment:
+            from quantv2x_tpu.data.augment import AugmentedSource
+            source = AugmentedSource(ds, seed=123)
+        n_frames = min(len(ds), args.max_frames)
+        loader = PrefetchLoader(source, hypes.voxel, max_cav=max_cav,
+                                indices=range(n_frames), shuffle=True,
+                                reinitialize=True, seed=11)
+        sample_frame = ds[0]
+        groups = None
+        steps_per_epoch = max(n_frames // batch_size, 1)
+        sample = stack_batches(*[
+            frame_to_batch(sample_frame, hypes.voxel, max_cav=max_cav)
+        ] * batch_size)
+
+        def batched(epoch_seed):
+            buf = []
+            for b in loader:
+                buf.append(b)
+                if len(buf) == batch_size:
+                    g = stack_batches(*buf)
+                    buf = []
+                    yield g
+    else:
+        batches = [frame_to_batch(f, hypes.voxel, max_cav=max_cav)
+                   for f in frames]
+        if not batches:
+            raise SystemExit(
+                "no training frames (check --synthetic / root_dir)")
+        batch_size = min(batch_size, len(batches))
+        # pre-stack fixed groups once (device-resident); epochs shuffle
+        # group order only — avoids per-epoch eager concatenation over the
+        # TPU tunnel
+        groups = [
+            stack_batches(*batches[i:i + batch_size])
+            for i in range(0, len(batches) - batch_size + 1, batch_size)
+        ]
+        steps_per_epoch = max(len(batches) // batch_size, 1)
+        sample = groups[0]
+
+        def batched(epoch_seed):
+            rng = np.random.default_rng(epoch_seed)
+            for j in rng.permutation(len(groups)):
+                yield groups[j]
 
     # ---- state -----------------------------------------------------------
-    sample = groups[0]
-    optim = dataclasses.replace(
-        hypes.optim, steps_per_epoch=max(len(batches) // batch_size, 1)
-    )
+    optim = dataclasses.replace(hypes.optim,
+                                steps_per_epoch=steps_per_epoch)
     trainable = None
     if args.trainable:
         import re
@@ -173,6 +231,7 @@ def main():
     # multi-chip: shard batches over a (data, agent) mesh; XLA inserts the
     # gradient all-reduce (replaces the reference's DDP/NCCL, train_ddp.py)
     mesh_ctx = None
+    shard_fn = lambda g: g  # noqa: E731
     if args.mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from quantv2x_tpu.parallel.sharding import make_mesh, shard_batch
@@ -180,27 +239,37 @@ def main():
         mesh = make_mesh(n_data=nd, n_agent=na)
         mesh_ctx = jax.set_mesh(mesh)
         mesh_ctx.__enter__()
-        groups = [shard_batch(mesh, g) for g in groups]
+        shard_fn = lambda g: shard_batch(mesh, g)  # noqa: E731
         state = jax.device_put(state, NamedSharding(mesh, P()))
         print(f"[train] sharded over mesh data={nd} agent={na}")
 
-    if args.epoch_reload and ds is not None:
-        # per-epoch reinitialize + reload (reference train.py:219): frames
-        # re-read with a fresh ego/cav order and re-voxelized each epoch
-        from quantv2x_tpu.data.loader import PrefetchLoader
-        n_frames = min(len(ds), args.max_frames)
-        loader = PrefetchLoader(ds, hypes.voxel, max_cav=max_cav,
-                                indices=range(n_frames), shuffle=True,
-                                reinitialize=True, seed=11)
-
-        def batched(epoch_seed):  # noqa: F811 — reload mode overrides
-            buf = []
-            for b in loader:
-                buf.append(b)
-                if len(buf) == batch_size:
-                    g = stack_batches(*buf)
-                    buf = []
-                    yield shard_batch(mesh, g) if mesh_ctx else g
+    # ---- validation (best-val checkpointing, reference train.py:181-215)
+    val_batches = []
+    if args.val_frames:
+        if val_ds is not None:
+            nval = min(len(val_ds), args.val_frames)
+            val_frames = [val_ds[i] for i in range(nval)]
+        elif args.synthetic:
+            val_frames = [
+                make_frame(SyntheticCfg(
+                    lidar_range=hypes.voxel.lidar_range,
+                    num_agents=max_cav, num_objects=12,
+                    points_per_agent=20000, seed=5000 + s,
+                ))
+                for s in range(min(args.val_frames, 16))
+            ]
+        else:
+            val_frames = []
+        vb = [frame_to_batch(f, hypes.voxel, max_cav=max_cav)
+              for f in val_frames]
+        val_batches = [
+            shard_fn(stack_batches(*vb[i:i + batch_size]))
+            for i in range(0, len(vb) - batch_size + 1, batch_size)
+        ]
+    eval_step = None
+    if val_batches:
+        from quantv2x_tpu.train.trainer import make_eval_step
+        eval_step = jax.jit(make_eval_step(model, anchor_pack, hypes.loss))
 
     os.makedirs(args.run_dir, exist_ok=True)
     from quantv2x_tpu.config.hypes import save_hypes
@@ -208,17 +277,30 @@ def main():
     _backup_source(args.run_dir)
 
     log_path = os.path.join(args.run_dir, "train_log.jsonl")
+    best_val, best_epoch = float("inf"), None
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         n, tot = 0, 0.0
         for batch in batched(epoch):
-            state, metrics = step(state, batch)
+            state, metrics = step(state, shard_fn(batch))
             tot += float(metrics["total_loss"])
             n += 1
         dt = time.time() - t0
         avg = tot / max(n, 1)
         line = {"epoch": epoch, "loss": round(avg, 4),
                 "steps": n, "sec": round(dt, 1)}
+        if eval_step is not None and (epoch + 1) % args.val_freq == 0:
+            vtot = sum(float(eval_step(state, vb)[0]["total_loss"])
+                       for vb in val_batches)
+            vavg = vtot / len(val_batches)
+            line["val_loss"] = round(vavg, 4)
+            if vavg < best_val:
+                best_val, prev = vavg, best_epoch
+                best_epoch = epoch
+                ckpt.save_checkpoint(args.run_dir, epoch, state,
+                                     best_val=best_val,
+                                     prev_best_epoch=prev)
+                line["best"] = True
         print(f"[train] {line}")
         with open(log_path, "a") as f:
             f.write(json.dumps(line) + "\n")
