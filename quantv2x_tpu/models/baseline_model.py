@@ -29,14 +29,24 @@ from quantv2x_tpu.utils.transformation import normalize_pairwise_tfm
 
 
 class BaselineFusionModel(nn.Module):
-    """Encoder -> backbone -> registry fusion -> shrink -> heads."""
+    """Encoder -> backbone -> registry fusion -> shrink -> heads.
+
+    ``comm`` (a comm_mask.CommCfg) activates the Where2comm communication
+    gate: per-agent confidence head, (request-gated) transmit masking,
+    multi-round exchange — output gains a ``comm_rate`` scalar
+    (where2comm_attn.py:174-341 parity)."""
     cfg: ModelCfg
     fusion_method: str = "att"
     compressor: Optional[nn.Module] = None
+    comm: Optional[object] = None        # comm_mask.CommCfg
 
     def setup(self):
         c = self.cfg
         dt = c.jnp_dtype
+        if self.comm is not None:
+            from quantv2x_tpu.models.comm_mask import Where2commGate
+            self.comm_gate = Where2commGate(self.comm, c.anchor_num,
+                                            dtype=dt)
         self.vfe = PillarVFE(c.voxel, c.pillar_filters, dtype=dt)
         self.backbone = ResNetBEVBackbone(
             c.backbone_layers, c.backbone_strides, c.backbone_filters,
@@ -69,8 +79,15 @@ class BaselineFusionModel(nn.Module):
         affine = normalize_pairwise_tfm(
             batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0]
         )
-        fused = self.fusion(feat, batch["agent_mask"], affine, train)
+        out = {"occ_maps": []}
+        if self.comm is not None:
+            fused, rate, _ = self.comm_gate(
+                feat, batch["agent_mask"], affine,
+                lambda f, m, a, t: self.fusion(f, m, a, t), train)
+            out["comm_rate"] = rate
+        else:
+            fused = self.fusion(feat, batch["agent_mask"], affine, train)
         fused = self.shrink(fused)
         cls_p, reg_p, dir_p = self.heads(fused)
-        return {"cls_preds": cls_p, "reg_preds": reg_p, "dir_preds": dir_p,
-                "occ_maps": []}
+        out.update(cls_preds=cls_p, reg_preds=reg_p, dir_preds=dir_p)
+        return out

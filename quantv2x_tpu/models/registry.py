@@ -188,7 +188,25 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
         fusion = args.get("fusion_method",
                           args.get("fusion_args", {}).get("core_method",
                                                           "att"))
-        return BaselineFusionModel(mcfg, fusion_method=fusion), "collab"
+        comm = None
+        comm_args = args.get("communication") or args.get(
+            "fusion_args", {}).get("communication")
+        if fusion == "where2comm" or comm_args:
+            # where2comm communication gate (comm_modules/where2comm.py +
+            # where2comm_attn.py): threshold/smooth/request/round knobs
+            from quantv2x_tpu.models.comm_mask import CommCfg
+            ca = comm_args or {}
+            g = ca.get("gaussian_smooth", {})
+            comm = CommCfg(
+                threshold=float(ca.get("thre", 0.01)),
+                gaussian_ksize=int(g.get("k_size", 5)),
+                gaussian_sigma=float(g.get("c_sigma", 1.0)),
+                smooth=bool(g) or bool(ca.get("smooth", True)),
+                request=bool(ca.get("request", False)),
+                rounds=int(ca.get("round", 1)),
+            )
+        return (BaselineFusionModel(mcfg, fusion_method=fusion, comm=comm),
+                "collab")
 
     if base == "pixor_intermediate":
         from quantv2x_tpu.models.pixor import PIXORIntermediate, PixorCfg

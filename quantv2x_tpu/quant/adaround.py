@@ -312,8 +312,12 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
         for path, leaf in flat_params
         if path[-1].key in ("kernel", "conv_kernel_grouped")
     ]
+    # alphas in f32 always: bf16 models would otherwise learn the rounding
+    # mask at 8-bit mantissa precision (and leak bf16 into the Adam state)
     alphas = {
-        p: alpha_init(w, w_scales_local[p][0]) for p, w in kernel_items
+        p: alpha_init(w.astype(jnp.float32),
+                      jnp.asarray(w_scales_local[p][0], jnp.float32))
+        for p, w in kernel_items
         if p in w_scales_local
     }
     act_delta = act_scale[0] if act_scale is not None else None
@@ -369,8 +373,9 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             p = "/".join(k.key for k in path)
             if p in alphas:
                 d, zp = w_scales_local[p]
-                return adaround_weight(leaf, d, zp, spec_w.n_bits,
-                                       alphas[p], hard)
+                return adaround_weight(
+                    leaf.astype(jnp.float32), d, zp, spec_w.n_bits,
+                    alphas[p], hard).astype(leaf.dtype)
             return leaf
         return jax.tree_util.tree_map_with_path(visit, fp_params)
 
@@ -381,11 +386,14 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
         if act_delta is not None:
             d = jnp.maximum(opt_vars["act_delta"], 1e-8)
             y = spec_a.apply(y, d, act_zp)
-        recon = jnp.mean(jnp.abs(y - y_fp) ** 2)
+        # f32 loss arithmetic regardless of model dtype (bf16 models would
+        # otherwise leak bf16 into the fori_loop carry and the Adam state)
+        recon = jnp.mean(jnp.abs(y.astype(jnp.float32)
+                                 - y_fp.astype(jnp.float32)) ** 2)
         rl = sum(round_loss(a, beta) for a in alphas_v.values()) / max(len(alphas_v), 1)
-        total = recon + rcfg.round_weight * rl
+        total = recon + rcfg.round_weight * rl.astype(jnp.float32)
         if pred_loss is not None:
-            total = total + pred_loss(y, y_fp)
+            total = total + pred_loss(y, y_fp).astype(jnp.float32)
         return total, recon
 
     opt_vars = {"alphas": alphas}
@@ -429,9 +437,10 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
         y = unit_apply(q_params, x)
         if act is not None:
             y = spec_a.apply(y, jnp.maximum(act[0], 1e-8), act[1])
-        err = jnp.mean(jnp.abs(y - y_fp) ** 2)
+        err = jnp.mean(jnp.abs(y.astype(jnp.float32)
+                               - y_fp.astype(jnp.float32)) ** 2)
         if pred_loss is not None:
-            err = err + pred_loss(y, y_fp)
+            err = err + pred_loss(y, y_fp).astype(jnp.float32)
         return err
 
     new_act = (

@@ -24,8 +24,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-y", "--hypes", required=True)
     ap.add_argument("--run_dir", default=None)
-    ap.add_argument("--sweep", choices=["noise", "agents", "latency"],
+    ap.add_argument("--sweep", choices=["noise", "agents", "latency",
+                                        "comm"],
                     default="noise")
+    ap.add_argument("--thresholds", type=float, nargs="+",
+                    default=[0.0, 0.01, 0.03, 0.1, 0.3],
+                    help="comm sweep: where2comm transmit thresholds")
     ap.add_argument("--speed_mps", type=float, default=8.33,
                     help="latency sweep: simulated collaborator speed")
     ap.add_argument("--synthetic", type=int, default=8)
@@ -43,8 +47,17 @@ def main():
     from quantv2x_tpu.train.trainer import OptimCfg, create_train_state
 
     hypes = load_hypes(args.hypes)
-    model = PyramidCollabModel(
-        dataclasses.replace(hypes.model, max_cav=args.max_cav))
+    if args.sweep == "comm":
+        # comm-rate-vs-AP needs the where2comm communication gate — build
+        # whatever the config says (point_pillar_baseline + where2comm)
+        from quantv2x_tpu.models.registry import create_model
+        model, contract = create_model(hypes, max_cav=args.max_cav)
+        if getattr(model, "comm", None) is None:
+            raise SystemExit("--sweep comm needs a where2comm config "
+                             "(model.args.fusion_method: where2comm)")
+    else:
+        model = PyramidCollabModel(
+            dataclasses.replace(hypes.model, max_cav=args.max_cav))
     frames = [
         make_frame(SyntheticCfg(
             lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
@@ -102,6 +115,24 @@ def main():
             summary, lat = run_eval(model, variables, batches, hypes)
             results[f"delay_{delay_ms}ms"] = summary["mAP"]
             print(f"[sweep] delay={delay_ms}ms: "
+                  f"mAP@0.5={summary['mAP'][0.5]:.4f}")
+    elif args.sweep == "comm":
+        # AP vs transmitted fraction (the tradeoff study the reference
+        # supports via where2comm_attn + comm_modules/where2comm)
+        batches = [frame_to_batch(f, hypes.voxel, max_cav=args.max_cav)
+                   for f in frames]
+        for t in args.thresholds:
+            m_t = model.clone(
+                comm=dataclasses.replace(model.comm, threshold=float(t)),
+                parent=None)
+            summary, lat = run_eval(m_t, variables, batches, hypes)
+            fwd = jax.jit(lambda v, b, m=m_t: m.apply(v, b, train=False))
+            rates = [float(fwd(variables, b)["comm_rate"])
+                     for b in batches[:4]]
+            rate = float(np.mean(rates))
+            results[f"thre_{t}"] = {"mAP": summary["mAP"],
+                                    "comm_rate": rate}
+            print(f"[sweep] thre={t}: tx={rate:.4f} "
                   f"mAP@0.5={summary['mAP'][0.5]:.4f}")
     else:
         for use_cav in range(1, args.max_cav + 1):

@@ -101,8 +101,44 @@ def main():
     ap.add_argument("--grid", type=float, default=19.2,
                     help="half-extent metres of the BEV range")
     ap.add_argument("--max_cav", type=int, default=2)
+    ap.add_argument("--procs", type=int, nargs="+", default=None,
+                    help="multi-PROCESS scaling sweep (jax.distributed "
+                    "via tools/launch): each entry spawns that many "
+                    "worker processes with max(devices)//procs virtual "
+                    "devices each — the multi-host (DCN) code path")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
+
+    if args.procs:
+        import re
+        import subprocess
+        import sys
+
+        from quantv2x_tpu.tools.launch import launch  # noqa: F401
+        total_dev = max(args.devices)
+        rows = []
+        for nproc in args.procs:
+            per = max(total_dev // nproc, 1)
+            r = subprocess.run(
+                [sys.executable, "-m", "quantv2x_tpu.tools.launch",
+                 "--nprocs", str(nproc), "--devices_per_proc", str(per),
+                 "--", sys.executable, "-m",
+                 "quantv2x_tpu.tools.multihost_dryrun", "--agent",
+                 str(args.max_cav), "--steps", str(args.steps)],
+                capture_output=True, text=True)
+            fps = [float(m) for m in
+                   re.findall(r"MULTIHOST_FPS=([0-9.eE+-]+)", r.stdout)]
+            ok = "processes agree" in r.stdout and r.returncode == 0
+            rows.append({"procs": nproc, "devices_per_proc": per,
+                         "frames_per_sec": round(fps[0], 2) if fps else None,
+                         "agree": ok})
+            print(json.dumps(rows[-1]))
+        out = {"mode": "multiprocess", "rows": rows}
+        print(json.dumps(out))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(out, f)
+        return
 
     global n_steps_global
     n_steps_global = args.steps
