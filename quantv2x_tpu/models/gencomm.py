@@ -27,6 +27,12 @@ from quantv2x_tpu.models.layers import ConvBNReLU
 class GenCommCfg:
     channels: int = 64
     message_channels: int = 8
+    # denoiser capacity (unet.py DiffusionUNet parity): per-level channel
+    # multipliers, residual blocks per level, window attention at the
+    # bottleneck (the sparse_attn.py analogue — our EnhancerBlock)
+    ch_mult: tuple = (1, 2)
+    num_res_blocks: int = 2
+    attn_mid: bool = True
     timesteps: int = 50
     sample_steps: int = 10
     beta_start: float = 1e-4
@@ -54,30 +60,86 @@ class MessageExtractor(nn.Module):
         return y                                     # (H/2, W/2, Cm)
 
 
+class DiffResBlock(nn.Module):
+    """DDPM residual block (unet.py ResnetBlock:81-115): GroupNorm ->
+    SiLU -> conv, per-block time-embedding injection, 1x1 skip on channel
+    change."""
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = nn.GroupNorm(num_groups=4, dtype=self.dtype, name="norm1")(x)
+        h = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype,
+                    name="conv1")(nn.silu(h))
+        h = h + nn.Dense(self.out_ch, dtype=self.dtype,
+                         name="temb_proj")(nn.silu(temb))[:, None, None, :]
+        h = nn.GroupNorm(num_groups=4, dtype=self.dtype, name="norm2")(h)
+        h = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype,
+                    name="conv2")(nn.silu(h))
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                        name="skip")(x)
+        return x + h
+
+
 class CondUNet(nn.Module):
-    """Compact conditional denoiser (unet.py parity, 2-level)."""
+    """Conditional DDPM denoiser (unet.py DiffusionUNet parity).
+
+    len(ch_mult) resolutions, ``num_res_blocks`` DiffResBlocks per level
+    on both paths with skip connections, window attention at the
+    bottleneck (EnhancerBlock — the sparse_attn.py analogue)."""
     channels: int
+    ch_mult: tuple = (1, 2)
+    num_res_blocks: int = 2
+    attn_mid: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_noisy, t_emb, cond, train: bool = False):
         """x_noisy: (N, H, W, C); t_emb: (N, E); cond: (N, H, W, Cc)."""
         C = self.channels
-        h = jnp.concatenate([x_noisy, cond], axis=-1)
-        h = ConvBNReLU(C, 3, dtype=self.dtype, name="in")(h, train)
-        te = nn.Dense(C, dtype=self.dtype, name="temb")(t_emb)
-        h = h + te[:, None, None, :]
-        d1 = ConvBNReLU(C, 3, 2, dtype=self.dtype, name="down1")(h, train)
-        d2 = ConvBNReLU(2 * C, 3, 2, dtype=self.dtype, name="down2")(d1, train)
-        m = ConvBNReLU(2 * C, 3, dtype=self.dtype, name="mid")(d2, train)
-        u1 = jax.image.resize(m, d1.shape[:3] + (m.shape[-1],), "nearest")
-        u1 = ConvBNReLU(C, 3, dtype=self.dtype, name="up1")(
-            jnp.concatenate([u1, d1], axis=-1), train)
-        u0 = jax.image.resize(u1, h.shape[:3] + (u1.shape[-1],), "nearest")
-        u0 = ConvBNReLU(C, 3, dtype=self.dtype, name="up0")(
-            jnp.concatenate([u0, h], axis=-1), train)
-        return nn.Conv(x_noisy.shape[-1], (1, 1), dtype=self.dtype,
-                       name="out")(u0)
+        temb = nn.Dense(4 * C, dtype=self.dtype, name="temb1")(t_emb)
+        temb = nn.Dense(4 * C, dtype=self.dtype,
+                        name="temb2")(nn.silu(temb))
+        h = nn.Conv(C, (3, 3), dtype=self.dtype, name="conv_in")(
+            jnp.concatenate([x_noisy, cond], axis=-1))
+
+        skips = [h]
+        for lv, mult in enumerate(self.ch_mult):
+            for b in range(self.num_res_blocks):
+                h = DiffResBlock(C * mult, dtype=self.dtype,
+                                 name=f"down{lv}_block{b}")(h, temb)
+                skips.append(h)
+            if lv + 1 < len(self.ch_mult):
+                h = nn.Conv(h.shape[-1], (3, 3), strides=(2, 2),
+                            dtype=self.dtype, name=f"down{lv}_ds")(h)
+                skips.append(h)
+
+        h = DiffResBlock(h.shape[-1], dtype=self.dtype,
+                         name="mid_block1")(h, temb)
+        if self.attn_mid:
+            h = EnhancerBlock(win=8, num_heads=4, dtype=self.dtype,
+                              name="mid_attn")(h)
+        h = DiffResBlock(h.shape[-1], dtype=self.dtype,
+                         name="mid_block2")(h, temb)
+
+        for lv, mult in reversed(list(enumerate(self.ch_mult))):
+            for b in range(self.num_res_blocks + 1):
+                h = DiffResBlock(C * mult, dtype=self.dtype,
+                                 name=f"up{lv}_block{b}")(
+                    jnp.concatenate([h, skips.pop()], axis=-1), temb)
+            if lv > 0:
+                tgt = skips[-1].shape
+                h = jax.image.resize(h, (h.shape[0], tgt[1], tgt[2],
+                                         h.shape[-1]), "nearest")
+                h = nn.Conv(h.shape[-1], (3, 3), dtype=self.dtype,
+                            name=f"up{lv}_us")(h)
+
+        h = nn.GroupNorm(num_groups=4, dtype=self.dtype,
+                         name="norm_out")(h)
+        return nn.Conv(x_noisy.shape[-1], (3, 3), dtype=self.dtype,
+                       name="conv_out")(nn.silu(h))
 
 
 def timestep_embedding(t, dim: int = 64):
@@ -95,7 +157,10 @@ class GenComm(nn.Module):
     def setup(self):
         self.extractor = MessageExtractor(self.cfg.message_channels,
                                           dtype=self.dtype)
-        self.denoiser = CondUNet(self.cfg.channels, dtype=self.dtype)
+        self.denoiser = CondUNet(
+            self.cfg.channels, ch_mult=self.cfg.ch_mult,
+            num_res_blocks=self.cfg.num_res_blocks,
+            attn_mid=self.cfg.attn_mid, dtype=self.dtype)
 
     def __call__(self, feats, rng, train: bool = True):
         """Init/train entry: extract the message and compute the DDPM loss

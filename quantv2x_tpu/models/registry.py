@@ -160,6 +160,10 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
         gcfg = GenCommCfg(
             channels=mcfg.backbone_filters[-1],
             timesteps=int(gc_args.get("timesteps", 100)),
+            message_channels=int(gc_args.get("message_channels", 8)),
+            ch_mult=tuple(gc_args.get("ch_mult", (1, 2))),
+            num_res_blocks=int(gc_args.get("num_res_blocks", 2)),
+            attn_mid=bool(gc_args.get("attn_mid", True)),
         )
         return (GenCommCollabModel(
             base_model=PyramidCollabModel(mcfg, name="base_model"),

@@ -25,7 +25,7 @@ def main():
     ap.add_argument("-y", "--hypes", required=True)
     ap.add_argument("--run_dir", default=None)
     ap.add_argument("--sweep", choices=["noise", "agents", "latency",
-                                        "comm"],
+                                        "comm", "missing"],
                     default="noise")
     ap.add_argument("--thresholds", type=float, nargs="+",
                     default=[0.0, 0.01, 0.03, 0.1, 0.3],
@@ -55,6 +55,23 @@ def main():
         if getattr(model, "comm", None) is None:
             raise SystemExit("--sweep comm needs a where2comm config "
                              "(model.args.fusion_method: where2comm)")
+    elif args.sweep == "missing":
+        # gencomm configs carry a top-level `gencomm:` block (same
+        # construction as tools/train_gencomm.py)
+        from quantv2x_tpu.models.gencomm import GenCommCfg, GenCommCollabModel
+        if "gencomm" not in hypes.raw:
+            raise SystemExit("--sweep missing needs a gencomm config")
+        gc = hypes.raw["gencomm"]
+        model_cfg = dataclasses.replace(hypes.model, max_cav=args.max_cav)
+        gcfg = GenCommCfg(
+            channels=model_cfg.backbone_filters[-1],
+            message_channels=int(gc.get("message_channels", 8)),
+            timesteps=int(gc.get("diffusion_steps", 20)),
+            ch_mult=tuple(gc.get("ch_mult", (1, 2))),
+            num_res_blocks=int(gc.get("num_res_blocks", 2)))
+        model = GenCommCollabModel(
+            base_model=PyramidCollabModel(model_cfg, name="base_model"),
+            cfg=gcfg)
     else:
         model = PyramidCollabModel(
             dataclasses.replace(hypes.model, max_cav=args.max_cav))
@@ -133,6 +150,21 @@ def main():
             results[f"thre_{t}"] = {"mAP": summary["mAP"],
                                     "comm_rate": rate}
             print(f"[sweep] thre={t}: tx={rate:.4f} "
+                  f"mAP@0.5={summary['mAP'][0.5]:.4f}")
+    elif args.sweep == "missing":
+        # missing-message AP recovery — the point of GenComm: collaborators
+        # lose a fraction of message pixels; the diffusion generator fills
+        # in (heter_model_baseline_w_gencomm_stage2.py:289 missing_message)
+        batches = [frame_to_batch(f, hypes.voxel, max_cav=args.max_cav)
+                   for f in frames]
+        for mr in [0.0, 0.3, 0.6, 1.0]:
+            m_r = model.clone(missing_rate=float(mr), parent=None)
+            summary, lat = run_eval(
+                m_r, variables, batches, hypes,
+                apply_fn=lambda v, b, m=m_r: m.apply(v, b, train=False,
+                                                     sample=True))
+            results[f"missing_{mr}"] = summary["mAP"]
+            print(f"[sweep] missing={mr}: "
                   f"mAP@0.5={summary['mAP'][0.5]:.4f}")
     else:
         for use_cav in range(1, args.max_cav + 1):
