@@ -161,6 +161,86 @@ def main():
     except Exception as e:
         print(f"# proj_first int8 path failed: {e}", flush=True)
 
+    # optional per-stage roofline accounting (BENCH_DETAIL=1 / --detail):
+    # measured ms + XLA-cost-analysis FLOPs/bytes per stage against the
+    # device calibration (BASELINE.md: ~31 TF/s bf16 matmul, ~60 TF/s
+    # conv, ~68 GB/s HBM on this tunneled chip) -> achieved fraction
+    if os.environ.get("BENCH_DETAIL", "0") == "1" or \
+            "--detail" in os.sys.argv:
+        import jax as _jax
+        PEAK_TFLOPS, PEAK_GBS = 60.0, 68.0
+
+        def cost_of(fn, *fargs):
+            try:
+                ca = _jax.jit(fn).lower(*fargs).compile().cost_analysis()
+                if isinstance(ca, list):
+                    ca = ca[0]
+                return (float(ca.get("flops", 0.0)),
+                        float(ca.get("bytes accessed", 0.0)))
+            except Exception:
+                return 0.0, 0.0
+
+        def chain_time(stage_fn):
+            @jax.jit
+            def chain(v, sb):
+                def body(c, b):
+                    out = stage_fn(v, b)
+                    return c + sum(o.astype(jnp.float32).sum()
+                                   for o in jax.tree.leaves(out)), 0
+                big = jax.tree.map(lambda x: jnp.concatenate([x] * REP), sb)
+                a, _ = jax.lax.scan(body, jnp.float32(0.0), big)
+                return a
+            _ = float(chain(variables, stacked))
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                _ = float(chain(variables, stacked))
+                ts.append(time.time() - t0)
+            return min(ts) / n_chain
+
+        def enc_fn(v, b):
+            return model.apply(v, b, train=False, method="encode_agents")
+
+        def full_fn(v, b):
+            return model.apply(v, b, train=False)
+
+        def dec_fn(v, b):
+            out = model.apply(v, b, train=False)
+            return decode_detections(
+                out["cls_preds"][0], out["reg_preds"][0], anchors, pp_cfg,
+                dir_preds=out["dir_preds"][0])
+
+        t_enc = chain_time(enc_fn)
+        t_full = chain_time(full_fn)
+        t_dec = chain_time(dec_fn)
+        stages = [
+            ("encode", t_enc, cost_of(enc_fn, variables, batch)),
+            ("fuse+heads", t_full - t_enc, None),
+            ("decode+nms", t_dec - t_full, None),
+            ("model total", t_full, cost_of(full_fn, variables, batch)),
+            ("e2e", t_dec, cost_of(dec_fn, variables, batch)),
+        ]
+        fl_full = stages[3][2]
+        fl_e2e = stages[4][2]
+        stages[1] = ("fuse+heads", t_full - t_enc,
+                     (fl_full[0] - stages[0][2][0],
+                      fl_full[1] - stages[0][2][1]))
+        stages[2] = ("decode+nms", t_dec - t_full,
+                     (fl_e2e[0] - fl_full[0], fl_e2e[1] - fl_full[1]))
+        print("# roofline (stock bf16 arms; device calib "
+              f"{PEAK_TFLOPS:.0f} TF/s conv, {PEAK_GBS:.0f} GB/s HBM):",
+              flush=True)
+        for name, dt_s, cost in stages:
+            fl, by = cost
+            tf = fl / dt_s / 1e12
+            gb = by / dt_s / 1e9
+            bound = "compute" if tf / PEAK_TFLOPS > gb / PEAK_GBS else "memory"
+            frac = max(tf / PEAK_TFLOPS, gb / PEAK_GBS)
+            print(f"# {name:12s} {dt_s*1e3:7.2f} ms  {fl/1e9:8.1f} GFLOP "
+                  f"{by/1e6:8.0f} MB  {tf:6.1f} TF/s {gb:6.1f} GB/s  "
+                  f"{bound}-bound @ {frac*100:4.0f}% of roofline",
+                  flush=True)
+
     # headline = int8 e2e (fall back to best available if it failed)
     candidates = [d for d in (int8_dt, pf_dt) if d]
     if candidates:

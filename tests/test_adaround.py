@@ -212,3 +212,62 @@ class TestSequentialRecapture:
         r = np.asarray(out).ravel()
         assert np.isfinite(r).all()
         assert np.corrcoef(r, np.asarray(fp).ravel())[0, 1] > 0.99
+
+
+class TestPredictionTerms:
+    """Prediction-level reconstruction terms (block_recon.py:262-312 KL +
+    misalignment, pyramid_recon.py:382 SoftBoundingBoxLoss)."""
+
+    def test_pred_loss_zero_when_identical(self):
+        import jax
+        import jax.numpy as jnp
+        from quantv2x_tpu.quant.adaround import ReconCfg, make_pred_loss
+
+        rng = jax.random.PRNGKey(0)
+        heads = {
+            "cls_head": (jax.random.normal(rng, (1, 1, 16, 18)),
+                         jnp.zeros((18,))),
+            "reg_head": (jax.random.normal(rng, (1, 1, 16, 42)),
+                         jnp.zeros((42,))),
+        }
+        ploss = make_pred_loss(heads, ReconCfg())
+        y = jax.random.normal(rng, (2, 8, 8, 16))
+        assert float(ploss(y, y)) < 1e-6
+        y2 = y + 0.5 * jax.random.normal(jax.random.fold_in(rng, 1),
+                                         y.shape)
+        assert float(ploss(y2, y)) > 1e-3
+
+    def test_head_params_found_and_terms_applied(self):
+        """adaround_reconstruct locates the detection heads next to the
+        shrink unit and runs without error with pred terms on."""
+        import jax
+        import numpy as np
+        from quantv2x_tpu.data.pipeline import frame_to_batch
+        from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
+        from quantv2x_tpu.data.voxelizer import VoxelCfg
+        from quantv2x_tpu.models.collab_model import (ModelCfg,
+                                                      PyramidCollabModel)
+        from quantv2x_tpu.quant.adaround import (ReconCfg,
+                                                 adaround_reconstruct)
+        from quantv2x_tpu.quant.ptq import PTQConfig
+
+        rng_range = (-9.6, -9.6, -3.0, 9.6, 9.6, 1.0)
+        voxel = VoxelCfg(lidar_range=rng_range, voxel_size=(0.4, 0.4, 4.0),
+                         max_points_per_voxel=4, max_voxels=256)
+        model = PyramidCollabModel(ModelCfg(
+            voxel=voxel, max_cav=2, pyramid_layers=(1,),
+            pyramid_strides=(1,), pyramid_filters=(16,),
+            pyramid_up_strides=(1,), pyramid_up_filters=(16,),
+            pillar_filters=(16,), backbone_layers=(1,),
+            backbone_strides=(2,), backbone_filters=(16,), shrink_dim=16))
+        frame = make_frame(SyntheticCfg(
+            lidar_range=rng_range, num_agents=2, num_objects=3,
+            points_per_agent=1500, seed=3))
+        batch = frame_to_batch(frame, voxel, max_cav=2)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        rcfg = ReconCfg(iters=8, sequential=False, pred_terms=True)
+        qvars, act_scales, qapply = adaround_reconstruct(
+            model, variables, [batch], cfg=PTQConfig(observer="quantile"),
+            rcfg=rcfg)
+        out = qapply(qvars, act_scales, batch)
+        assert np.isfinite(np.asarray(out["cls_preds"])).all()

@@ -127,3 +127,58 @@ def test_entropy_init_clips_outliers():
     d_m, _ = qz.init_minmax(x, 8)
     # entropy calibration must choose a much tighter range than minmax
     assert float(d_e) < float(d_m) * 0.5
+
+
+class TestHistogramObserver:
+    """Histogram observer (PTQConfig.observer='histogram'): O(N)
+    scatter-add percentile/entropy clips (parity quant_layer.py:273-319)."""
+
+    def test_percentile_matches_quantile(self):
+        import numpy as np
+        from quantv2x_tpu.quant.ptq import (_percentile_clip_from_hist)
+        rng = np.random.default_rng(0)
+        x = rng.normal(0, 1, 200000).astype(np.float32)
+        lo, hi = float(x.min()), float(x.max())
+        counts, _ = np.histogram(x, bins=512, range=(lo, hi))
+        clo, chi = _percentile_clip_from_hist(counts, lo, hi, 0.999)
+        qlo, qhi = np.quantile(x, [0.001, 0.999])
+        width = (hi - lo) / 512
+        assert abs(clo - qlo) < 2 * width and abs(chi - qhi) < 2 * width
+
+    def test_entropy_clip_tightens_outliers(self):
+        import numpy as np
+        from quantv2x_tpu.quant.ptq import _entropy_clip_from_hist
+        rng = np.random.default_rng(1)
+        x = np.concatenate([rng.normal(0, 1, 100000),
+                            np.array([80.0])]).astype(np.float32)
+        lo, hi = float(x.min()), float(x.max())
+        counts, _ = np.histogram(x, bins=512, range=(lo, hi))
+        _, chi = _entropy_clip_from_hist(counts, lo, hi, 8)
+        assert chi < 0.5 * hi     # the lone outlier gets clipped away
+
+    def test_ptq_calibrate_histogram_backend(self):
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from quantv2x_tpu.quant import ptq as ptq_mod
+        import flax.linen as nn
+        from quantv2x_tpu.models.layers import ConvBNReLU
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                x = ConvBNReLU(8, 3, name="c1")(x, train)
+                return ConvBNReLU(8, 3, name="c2")(x, train)
+
+        m = M()
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        cfg = ptq_mod.PTQConfig(observer="histogram", hist_bins=256)
+        qv, scales, qapply = ptq_mod.ptq_calibrate(m, v, [x], cfg)
+        assert set(scales) == {"c1", "c2"}
+        y = qapply(qv, scales, x)
+        yf = m.apply(v, x, train=False)
+        corr = np.corrcoef(np.asarray(y).ravel(),
+                           np.asarray(yf).ravel())[0, 1]
+        assert corr > 0.99
