@@ -139,11 +139,17 @@ def main():
     ap.add_argument("--iters", type=int, default=None,
                     help="AdaRound reconstruction iterations per unit "
                          "(reference default 5000)")
-    ap.add_argument("--engine", choices=["none", "fused", "int8"],
+    ap.add_argument("--engine",
+                    choices=["none", "fused", "int8", "int8_fused"],
                     default="none",
                     help="evaluate a deployment engine transform instead "
                     "of the stock apply (parity: the reference evaluates "
-                    "its serialized TensorRT engines)")
+                    "its serialized TensorRT engines). int8_fused = the "
+                    "headline int8 fused-block Pallas engine")
+    ap.add_argument("--objects", type=int, default=12,
+                    help="synthetic eval scene objects (match training)")
+    ap.add_argument("--points", type=int, default=20000,
+                    help="synthetic eval points per agent")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -167,7 +173,8 @@ def main():
     frames = [
         make_frame(SyntheticCfg(
             lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
-            num_objects=12, points_per_agent=20000, seed=1000 + s,
+            num_objects=args.objects, points_per_agent=args.points,
+            seed=1000 + s,
         ))
         for s in range(args.synthetic + args.calib)
     ]
@@ -222,6 +229,11 @@ def main():
             from quantv2x_tpu.quant.fused_engine import build_fused_engine
             _, eng_apply = build_fused_engine(model, variables, h_tile=16,
                                               min_channels=0)
+        elif args.engine == "int8_fused":
+            from quantv2x_tpu.quant.int8_fused_engine import \
+                build_int8_fused_engine
+            _, eng_apply = build_int8_fused_engine(model, variables, calib,
+                                                   h_tile=16)
         else:
             from quantv2x_tpu.quant.int8_engine import build_int8_engine
             _, eng_apply = build_int8_engine(model, variables, calib)

@@ -310,7 +310,9 @@ def nms_rotated(boxes, scores, valid_mask, iou_thresh: float):
         suppress = (iou[i] > iou_thresh) & (jnp.arange(n8) > i) & alive
         return keep & ~suppress
 
-    keep_sorted = jax.lax.fori_loop(0, n8, body, svalid)
+    # unroll: each iteration is a tiny vector op; the sequential loop's
+    # per-trip overhead dominates on TPU (measured in decode profiling)
+    keep_sorted = jax.lax.fori_loop(0, n8, body, svalid, unroll=8)
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted[:n], mode="drop")
     return keep & valid_mask
 
@@ -346,7 +348,7 @@ def nms_corners(corners, scores, valid_mask, iou_thresh: float,
         suppress = (iou_top[i] > iou_thresh) & (jnp.arange(k) > i) & alive
         return keep & ~suppress
 
-    keep_top = jax.lax.fori_loop(0, k, body, svalid[:k])
+    keep_top = jax.lax.fori_loop(0, k, body, svalid[:k], unroll=8)
 
     if k < n8:
         # tail boxes (rank > prefilter_top_k): cheap standup-IoU stage.
@@ -369,7 +371,7 @@ def nms_corners(corners, scores, valid_mask, iou_thresh: float,
             suppress = (iou_tt[i] > iou_thresh) & (jnp.arange(m) > i) & alive
             return keep & ~suppress
 
-        keep_tail = jax.lax.fori_loop(0, m, tail_body, surv)
+        keep_tail = jax.lax.fori_loop(0, m, tail_body, surv, unroll=8)
         keep_sorted = jnp.concatenate([keep_top, keep_tail])
     else:
         keep_sorted = keep_top
