@@ -181,14 +181,14 @@ def test_heter_camera_config_train_and_infer(tree, tmp_path):
          str(cfg_path), "--run_dir", str(run_dir), "--synthetic", "0",
          "--max_frames", "2", "--epochs", "2", "--batch_size", "2",
          "--max_cav", "2", "--save_freq", "2"],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-3000:]
     out_json = tmp_path / "eval.json"
     r = subprocess.run(
         [sys.executable, "-m", "quantv2x_tpu.tools.inference", "-y",
          str(cfg_path), "--run_dir", str(run_dir), "--synthetic", "2",
          "--calib", "1", "--max_cav", "2", "--json", str(out_json)],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-3000:]
     res = json.loads(out_json.read_text())
     assert "ap" in res and res["frames"] == 2

@@ -81,7 +81,7 @@ def test_streaming_train_from_tree(tmp_path):
          str(cfg_path), "--run_dir", str(run_dir), "--synthetic", "0",
          "--epochs", "2", "--batch_size", "2", "--max_cav", "2",
          "--augment", "--val_frames", "2", "--save_freq", "2"],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "streaming" in r.stdout
     log = [json.loads(x) for x in
