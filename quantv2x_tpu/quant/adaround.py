@@ -362,13 +362,22 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
         jnp.asarray(a) if isinstance(a, np.ndarray) else a for a in extra_args
     )
 
-    def unit_apply(params_q, x_in):
-        vars_in = {"params": params_q}
-        if batch_stats:
-            vars_in["batch_stats"] = batch_stats
-        return unit.apply(vars_in, x_in, *extra_args)
+    # split extra args: arrays travel as jit arguments (big calibration
+    # tensors must not bake into the HLO), non-array flags stay static
+    extra_static = tuple(None if isinstance(a, jax.Array) else a
+                         for a in extra_args)
+    extra_arrays = tuple(a for a in extra_args if isinstance(a, jax.Array))
 
-    def quantize_params(alphas, hard):
+    def unit_apply(params_q, x_in, extra=None, bs=None):
+        vars_in = {"params": params_q}
+        bs = batch_stats if bs is None else bs
+        if bs:
+            vars_in["batch_stats"] = bs
+        arrs = iter(extra_arrays if extra is None else extra)
+        full = tuple(next(arrs) if s is None else s for s in extra_static)
+        return unit.apply(vars_in, x_in, *full)
+
+    def quantize_params(fp_params, alphas, hard):
         def visit(path, leaf):
             p = "/".join(k.key for k in path)
             if p in alphas:
@@ -379,21 +388,22 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             return leaf
         return jax.tree_util.tree_map_with_path(visit, fp_params)
 
-    def loss_fn(opt_vars, beta):
+    def loss_fn(opt_vars, beta, data):
         alphas_v = opt_vars["alphas"]
-        q_params = quantize_params(alphas_v, hard=False)
-        y = unit_apply(q_params, x)
+        q_params = quantize_params(data["fp_params"], alphas_v, hard=False)
+        y = unit_apply(q_params, data["x"], extra=data["extra"],
+                       bs=data["bs"])
         if act_delta is not None:
             d = jnp.maximum(opt_vars["act_delta"], 1e-8)
             y = spec_a.apply(y, d, act_zp)
         # f32 loss arithmetic regardless of model dtype (bf16 models would
         # otherwise leak bf16 into the fori_loop carry and the Adam state)
         recon = jnp.mean(jnp.abs(y.astype(jnp.float32)
-                                 - y_fp.astype(jnp.float32)) ** 2)
+                                 - data["y_fp"].astype(jnp.float32)) ** 2)
         rl = sum(round_loss(a, beta) for a in alphas_v.values()) / max(len(alphas_v), 1)
         total = recon + rcfg.round_weight * rl.astype(jnp.float32)
         if pred_loss is not None:
-            total = total + pred_loss(y, y_fp).astype(jnp.float32)
+            total = total + pred_loss(y, data["y_fp"]).astype(jnp.float32)
         return total, recon
 
     opt_vars = {"alphas": alphas}
@@ -408,9 +418,15 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
     opt_state = tx.init(opt_vars)
 
     warm = int(rcfg.iters * rcfg.warmup)
+    # the calibration tensors/unit params travel as ARGUMENTS, not jit
+    # closure constants: baked-in constants ship inside the HLO, and at
+    # flagship shapes (hundreds of MB of captured activations) the
+    # remote-compile tunnel rejects the request (HTTP 413)
+    data = {"x": x, "y_fp": y_fp, "fp_params": fp_params,
+            "extra": extra_arrays, "bs": batch_stats}
 
     @jax.jit
-    def optimize(opt_vars, opt_state):
+    def optimize(opt_vars, opt_state, data):
         # whole reconstruction as ONE compiled loop — per-step dispatch over
         # a remote-TPU tunnel would dominate otherwise
         def body(it, carry):
@@ -418,7 +434,7 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             t = jnp.clip((it - warm) / max(rcfg.iters - warm, 1), 0.0, 1.0)
             beta = rcfg.b_start + (rcfg.b_end - rcfg.b_start) * t
             (loss, recon), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(opt_vars, beta)
+                loss_fn, has_aux=True)(opt_vars, beta, data)
             updates, opt_state = tx.update(grads, opt_state)
             return (optax.apply_updates(opt_vars, updates), opt_state, recon)
 
@@ -427,20 +443,22 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             (opt_vars, opt_state, jnp.float32(0.0)),
         )
 
-    opt_vars, opt_state, recon = optimize(opt_vars, opt_state)
+    opt_vars, opt_state, recon = optimize(opt_vars, opt_state, data)
 
     # safety: hard-thresholded learned rounding is only kept if it actually
     # reconstructs better than nearest rounding on the calibration samples
     # (with few iters the relaxation may not have binarized, making the hard
     # threshold arbitrary — the reference relies on 5000-iter anneals)
-    def recon_err(q_params, act):
-        y = unit_apply(q_params, x)
+    @jax.jit
+    def recon_err(q_params, act, data):
+        y = unit_apply(q_params, data["x"], extra=data["extra"],
+                       bs=data["bs"])
         if act is not None:
             y = spec_a.apply(y, jnp.maximum(act[0], 1e-8), act[1])
         err = jnp.mean(jnp.abs(y.astype(jnp.float32)
-                               - y_fp.astype(jnp.float32)) ** 2)
+                               - data["y_fp"].astype(jnp.float32)) ** 2)
         if pred_loss is not None:
-            err = err + pred_loss(y, y_fp).astype(jnp.float32)
+            err = err + pred_loss(y, data["y_fp"]).astype(jnp.float32)
         return err
 
     new_act = (
@@ -448,12 +466,12 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
         if act_delta is not None else None
     )
     old_act = (act_delta, act_zp) if act_delta is not None else None
-    q_learned = quantize_params(opt_vars["alphas"], hard=True)
+    q_learned = quantize_params(fp_params, opt_vars["alphas"], hard=True)
     q_nearest = quantize_params(
-        jax.tree.map(lambda a: a * 1e3, alphas), hard=True
+        fp_params, jax.tree.map(lambda a: a * 1e3, alphas), hard=True
     )  # saturated init-alphas == nearest rounding
-    e_learned = float(recon_err(q_learned, new_act))
-    e_nearest = float(recon_err(q_nearest, old_act))
+    e_learned = float(recon_err(q_learned, new_act, data))
+    e_nearest = float(recon_err(q_nearest, old_act, data))
     if e_learned <= e_nearest:
         return q_learned, new_act, e_learned
     return q_nearest, old_act, e_nearest
