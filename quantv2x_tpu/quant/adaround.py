@@ -161,9 +161,16 @@ class _StopCapture(Exception):
 
 def capture_fp_outputs(model, variables, batches, cfg: ptq_mod.PTQConfig):
     """One FP pass per batch: per-unit FP outputs + module clones, in
-    first-execution order (dict insertion order = reconstruction order)."""
-    store: Dict[str, dict] = {}
-    seen_this_batch = set()
+    first-execution order (dict insertion order = reconstruction order).
+
+    The forward is JITTED with sow-based capture — an eager interceptor
+    pass is one tunnel dispatch PER OP on the remote-TPU backend (measured
+    in the tens of minutes at the flagship grid). The sow reduce_fn keeps
+    the FIRST call per unit per batch (units invoked several times per
+    forward — e.g. heter encoders applied per agent — must stay aligned
+    with capture_unit_inputs, which records the first call)."""
+    modules: Dict[str, object] = {}
+    order: List[str] = []
 
     def interceptor(next_fn, args, kwargs, context):
         module = context.module
@@ -174,31 +181,60 @@ def capture_fp_outputs(model, variables, batches, cfg: ptq_mod.PTQConfig):
             and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
         )
         out = next_fn(*args, **kwargs)
-        # FIRST call per batch only: units invoked several times per
-        # forward (e.g. heter encoders applied once per agent) must stay
-        # aligned with capture_unit_inputs, which stops at the first call
-        if is_unit and path_s not in seen_this_batch:
-            seen_this_batch.add(path_s)
-            ent = store.setdefault(
-                path_s, {"outputs": [], "module": None})
-            ent["module"] = module.clone(parent=None)
-            ent["outputs"].append(jax.device_get(out))
+        if is_unit:
+            if path_s not in modules:
+                modules[path_s] = module.clone(parent=None)
+                order.append(path_s)
+            if isinstance(out, jax.Array):
+                module.sow("cap_out", "out", out,
+                           reduce_fn=lambda a, b: a)   # keep first call
         return out
 
-    for batch in batches:
-        seen_this_batch.clear()
+    def run(batch):
         with nn.intercept_methods(interceptor):
-            model.apply(variables, batch, train=False)
-    return store
+            _, mut = model.apply(variables, batch, train=False,
+                                 mutable=["cap_out"])
+        return mut["cap_out"]
+
+    run_j = jax.jit(run)
+    store: Dict[str, dict] = {}
+    for batch in batches:
+        caps = jax.device_get(run_j(batch))
+        flat = _flatten_caps(caps, "out")
+        for path_s in flat:
+            store.setdefault(path_s, {"outputs": [], "module": None})
+            store[path_s]["outputs"].append(flat[path_s])
+    # insertion order = first-execution order (the jit trace visits units
+    # in execution order, populating `order`)
+    for path_s in store:
+        store[path_s]["module"] = modules.get(path_s)
+    return {p: store[p] for p in order if p in store}
+
+
+def _flatten_caps(tree, leaf_key, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if k == leaf_key:
+            val = v[0] if isinstance(v, tuple) else v
+            out[ptq_mod._path_str(prefix)] = val
+        elif isinstance(v, dict):
+            out.update(_flatten_caps(v, leaf_key, prefix + (k,)))
+    return out
 
 
 def capture_unit_inputs(model, qvariables, act_scales, batches,
                         cfg: ptq_mod.PTQConfig, target: str):
     """Capture ONE unit's inputs from the quantized-so-far model, applying
-    the activation fake-quant of every predecessor unit; aborts the forward
-    at the target (reference GetLayerInpOut semantics)."""
-    inputs: List[np.ndarray] = []
-    extra_args: List[tuple] = []
+    the activation fake-quant of every predecessor unit (reference
+    GetLayerInpOut semantics).
+
+    Jitted sow-based capture, one dispatch per batch — the reference's
+    eager StopForward early exit saved Python time on GPU, but eager
+    interception costs one tunnel round trip PER OP here. Static (non
+    -array) extra args are recorded at trace time; array extras are sown
+    alongside the input."""
+    static_extras: List = [None]
+    seen = [False]
 
     def interceptor(next_fn, args, kwargs, context):
         module = context.module
@@ -208,25 +244,42 @@ def capture_unit_inputs(model, qvariables, act_scales, batches,
             and ptq_mod._is_unit(module, path_s)
             and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
         )
-        if is_unit and path_s == target:
-            inputs.append(jax.device_get(args[0]))
-            extra_args.append(
-                tuple(jax.device_get(a) if isinstance(a, jax.Array) else a
-                      for a in args[1:])
-            )
-            raise _StopCapture
+        if is_unit and path_s == target and not seen[0]:
+            seen[0] = True        # first call per forward only
+            static_extras[0] = tuple(
+                None if isinstance(a, jax.Array) else a for a in args[1:])
+            module.sow("cap_in", "inp", args[0], reduce_fn=lambda a, b: a)
+            for i, a in enumerate(args[1:]):
+                if isinstance(a, jax.Array):
+                    module.sow("cap_in", f"extra{i}", a,
+                               reduce_fn=lambda a_, b_: a_)
         out = next_fn(*args, **kwargs)
         if is_unit and path_s in act_scales:
             delta, zp = act_scales[path_s]
             out = cfg.act_spec.apply(out, delta, zp).astype(out.dtype)
         return out
 
+    def run(batch):
+        seen[0] = False
+        with nn.intercept_methods(interceptor):
+            _, mut = model.apply(qvariables, batch, train=False,
+                                 mutable=["cap_in"])
+        return mut["cap_in"]
+
+    run_j = jax.jit(run)
+    inputs: List[np.ndarray] = []
+    extra_args: List[tuple] = []
     for batch in batches:
-        try:
-            with nn.intercept_methods(interceptor):
-                model.apply(qvariables, batch, train=False)
-        except _StopCapture:
-            pass
+        caps = jax.device_get(run_j(batch))
+        inp = _flatten_caps(caps, "inp").get(target)
+        if inp is None:
+            continue
+        inputs.append(inp)
+        extras = list(static_extras[0] or ())
+        for i in range(len(extras)):
+            if extras[i] is None:
+                extras[i] = _flatten_caps(caps, f"extra{i}")[target]
+        extra_args.append(tuple(extras))
     return inputs, extra_args
 
 

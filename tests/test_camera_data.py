@@ -175,7 +175,7 @@ def test_heter_camera_config_train_and_infer(tree, tmp_path):
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
     run_dir = tmp_path / "run"
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", QV2X_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, "-m", "quantv2x_tpu.tools.train", "-y",
          str(cfg_path), "--run_dir", str(run_dir), "--synthetic", "0",
