@@ -66,25 +66,96 @@ def load_lidar(path: str) -> np.ndarray:
     return pts[mask]
 
 
+_PCD_TYPE = {("F", 4): np.float32, ("F", 8): np.float64,
+             ("I", 1): np.int8, ("I", 2): np.int16, ("I", 4): np.int32,
+             ("U", 1): np.uint8, ("U", 2): np.uint16, ("U", 4): np.uint32}
+
+
+def _lzf_decompress(data: bytes, out_len: int) -> bytes:
+    """Pure-python LZF decompression (the pcd binary_compressed codec;
+    parity: pypcd's lzf dependency, opencood/utils/pcd_utils.py:12,220)."""
+    out = bytearray(out_len)
+    i, o, n = 0, 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:                       # literal run of ctrl+1 bytes
+            run = ctrl + 1
+            out[o:o + run] = data[i:i + run]
+            i += run
+            o += run
+        else:                               # back reference
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            ref = o - ((ctrl & 0x1F) << 8) - data[i] - 1
+            i += 1
+            for _ in range(length + 2):     # may overlap itself
+                out[o] = out[ref]
+                o += 1
+                ref += 1
+    return bytes(out[:o])
+
+
 def _load_pcd(path: str) -> np.ndarray:
-    """Minimal ascii/binary pcd reader (xyz[+intensity])."""
+    """PCD reader: ascii / binary / binary_compressed (xyz[+intensity]).
+
+    Parity: the reference reads pcds via pypcd
+    (opencood/utils/pcd_utils.py:12-41) which supports all three DATA
+    encodings; DAIR-V2X ships binary_compressed files. FIELDS/SIZE/TYPE/
+    COUNT are honored (not assumed float32)."""
     with open(path, "rb") as f:
         header = {}
         while True:
             line = f.readline().decode("ascii", "ignore").strip()
+            if not line or line.startswith("#"):
+                continue
             key = line.split(" ")[0].upper()
             header[key] = line.split(" ")[1:]
             if key == "DATA":
                 break
         fields = header.get("FIELDS", ["x", "y", "z"])
-        n = int(header.get("POINTS", [0])[0])
-        if header["DATA"][0] == "ascii":
-            arr = np.loadtxt(f, dtype=np.float32, max_rows=n)
+        sizes = [int(s) for s in header.get("SIZE", ["4"] * len(fields))]
+        types = header.get("TYPE", ["F"] * len(fields))
+        counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
+        n = int(header.get("POINTS", header.get("WIDTH", [0]))[0])
+        mode = header["DATA"][0].lower()
+
+        # expand COUNT>1 fields into repeated columns
+        col_names, col_dtypes = [], []
+        for name, sz, ty, ct in zip(fields, sizes, types, counts):
+            dt = _PCD_TYPE.get((ty.upper(), sz), np.float32)
+            for k in range(ct):
+                col_names.append(name if ct == 1 else f"{name}_{k}")
+                col_dtypes.append(dt)
+        rec_dtype = np.dtype(list(zip(col_names, col_dtypes)))
+
+        if mode == "ascii":
+            arr2 = np.loadtxt(f, dtype=np.float64, max_rows=n,
+                              ndmin=2).astype(np.float32)
+            cols = {name: arr2[:, j] for j, name in enumerate(col_names)
+                    if j < arr2.shape[1]}
+        elif mode == "binary":
+            rec = np.frombuffer(f.read(rec_dtype.itemsize * n),
+                                dtype=rec_dtype, count=n)
+            cols = {name: rec[name] for name in col_names}
+        elif mode == "binary_compressed":
+            comp_len, out_len = np.frombuffer(f.read(8), np.uint32)
+            raw = _lzf_decompress(f.read(int(comp_len)), int(out_len))
+            # compressed layout is field-major (structure of arrays)
+            cols, off = {}, 0
+            for name, dt in zip(col_names, col_dtypes):
+                nbytes = np.dtype(dt).itemsize * n
+                cols[name] = np.frombuffer(raw[off:off + nbytes], dt, count=n)
+                off += nbytes
         else:
-            arr = np.frombuffer(f.read(), dtype=np.float32).reshape(n, -1)
-    arr = np.asarray(arr, np.float32).reshape(n, -1)
+            raise ValueError(f"unsupported pcd DATA mode {mode!r} in {path}")
+
     out = np.zeros((n, 4), np.float32)
-    out[:, : min(4, arr.shape[1])] = arr[:, :4]
+    for j, name in enumerate(("x", "y", "z", "intensity")):
+        if name in cols:
+            out[:, j] = np.asarray(cols[name], np.float32)
     return out
 
 
@@ -235,12 +306,13 @@ def _objects_to_ego(params_list, T_ego_world_inv, max_objects):
         yaw_deg = angle[1] if len(angle) == 3 else angle
         T_w_obj = _pose_to_T([loc[0], loc[1], loc[2], angle[0], yaw_deg,
                               angle[2] if len(angle) == 3 else 0.0])
-        c_world = T_w_obj[:3, :3] @ center + T_w_obj[:3, 3]
-        c_ego = T_ego_world_inv[:3, :3] @ c_world + T_ego_world_inv[:3, 3]
-        dyaw = np.degrees(
-            np.arctan2(T_ego_world_inv[1, 0], T_ego_world_inv[0, 0])
-        )
-        yaw_ego = np.radians(yaw_deg + dyaw)
+        # full-matrix composition (parity: box_utils.project_world_objects
+        # projects corners through the 4x4 and re-extracts the box) — the
+        # yaw comes from the COMPOSED rotation, correct under ego
+        # roll/pitch, not the flat-ground yaw sum
+        T_e_obj = T_ego_world_inv @ T_w_obj
+        c_ego = T_e_obj[:3, :3] @ center + T_e_obj[:3, 3]
+        yaw_ego = np.arctan2(T_e_obj[1, 0], T_e_obj[0, 0])
         l, w, h = ext[0] * 2, ext[1] * 2, ext[2] * 2
         boxes[i] = [c_ego[0], c_ego[1], c_ego[2], h, w, l, yaw_ego]
         classes[i] = class_name_to_id(o.get("obj_type", o.get("category")))
@@ -256,7 +328,7 @@ class V2XDataset:
                  max_points: int = 60000, max_objects: int = 150,
                  comm_range: float = 70.0, wild=None, seed: int = 0,
                  load_cameras: bool = False, num_cams: int = 4,
-                 image_size=(128, 352), modality_fn=None):
+                 image_size=(128, 352), modality_fn=None, box_align=None):
         self.scenarios = scan_scenarios(root, dataset_mode, max_cav)
         self.max_cav = max_cav
         self.max_points = max_points
@@ -275,6 +347,10 @@ class V2XDataset:
         # time-delay simulation (parity: wild_setting async path,
         # v2xreal_basedataset.py:89-122; see data/noise_sim.WildCfg)
         self.wild = wild
+        # stage-1 box-align pose correction (parity: box_align in
+        # __getitem__, intermediate_heter_fusion_3class_dataset.py:399-427;
+        # see data/box_align.BoxAlignCfg)
+        self.box_align = box_align
         self._seed = seed
         # used only by reinitialize() (main thread); __getitem__ derives a
         # per-index rng so PrefetchLoader worker threads stay deterministic
@@ -365,6 +441,34 @@ class V2XDataset:
             agent_poses[a] = poses[a]
             agent_mask[a] = True
 
+        # box-align pose correction from cached stage-1 detections
+        # (reference: __getitem__ box_align, ..._3class_dataset.py:399-427).
+        # The ego is gauge-fixed by the pose graph, so GT projection below
+        # (ego-frame) is unaffected; collaborator poses feed the pairwise
+        # transforms corrected.
+        if self.box_align is not None and self.box_align.enabled \
+                and self.box_align.stage1_dir:
+            from quantv2x_tpu.data.box_align import (
+                apply_box_align, load_stage1_cache,
+            )
+            cache = load_stage1_cache(self.box_align.stage1_dir,
+                                      scen["name"], ts)
+            if cache is not None:
+                M = self.box_align.max_boxes
+                centers = np.zeros((self.max_cav, M, 2), np.float32)
+                bmask = np.zeros((self.max_cav, M), bool)
+                for a in range(min(A, self.max_cav)):
+                    got = cache.get(str(cav_ids[keep[a]]))
+                    if got is None:
+                        continue
+                    c_, m_ = got
+                    k = min(M, len(c_))
+                    centers[a, :k] = c_[:k]
+                    bmask[a, :k] = m_[:k]
+                tmp = {"agent_poses": agent_poses, "agent_mask": agent_mask}
+                agent_poses = apply_box_align(
+                    tmp, centers, bmask, self.box_align)["agent_poses"]
+
         T_ego_world_inv = np.linalg.inv(_pose_to_T(poses[0]))
         gt_boxes, gt_classes, gt_mask = _objects_to_ego(
             params_list, T_ego_world_inv, self.max_objects
@@ -454,6 +558,10 @@ def build_frame_source(hypes_raw: dict, split: str = "train",
     if hypes_raw.get("wild_setting", {}).get("async"):
         from quantv2x_tpu.data.noise_sim import WildCfg
         wild = WildCfg.from_hypes(hypes_raw["wild_setting"])
+    box_align_cfg = None
+    if hypes_raw.get("box_align"):
+        from quantv2x_tpu.data.box_align import BoxAlignCfg
+        box_align_cfg = BoxAlignCfg.from_hypes(hypes_raw["box_align"])
     # camera branch on when the config's input_source lists cameras
     # (parity: load_camera_file, opv2v_basedataset.py:54); image size
     # comes from the camera modality's image_size when present
@@ -505,4 +613,4 @@ def build_frame_source(hypes_raw: dict, split: str = "train",
                 return others[(pos - 1) % len(others)]
     return V2XDataset(root, dataset_mode=dataset_mode, max_cav=max_cav,
                       comm_range=comm, wild=wild, modality_fn=modality_fn,
-                      **cam_kwargs)
+                      box_align=box_align_cfg, **cam_kwargs)

@@ -176,29 +176,24 @@ class HeterCollabModel(nn.Module):
                                      c.voxel.grid_size, train)
         elif mod.core_method in ("lift_splat_shoot", "camera", "lss"):
             imgs = batch["camera_imgs"]          # (B, L, N_cam, H, W, 3)
-            feats = [
-                self.encoders[mod.name](
-                    imgs[b, l], batch["camera_intrinsics"][b, l],
-                    batch["camera_rots"][b, l],
-                    batch["camera_trans"][b, l], train)
-                for b in range(B) for l in range(L)
-            ]
-            feat = jnp.stack(feats)              # (B*L, h, w, C)
-        else:  # second — per-agent 3D path
-            def one(vfeat, vcoord, vnum, vmask):
-                return self.encoders[mod.name](
-                    {"voxel_features": vfeat, "voxel_coords": vcoord,
-                     "voxel_num_points": vnum, "voxel_mask": vmask}, train)
+            feat = self.encoders[mod.name](
+                imgs.reshape(B * L, *imgs.shape[2:]),
+                batch["camera_intrinsics"].reshape(B * L, -1, 3, 3),
+                batch["camera_rots"].reshape(B * L, -1, 3, 3),
+                batch["camera_trans"].reshape(B * L, -1, 3), train,
+            )                                    # (B*L, h, w, C)
+        else:  # second — batched 3D path over all B*L agents
             # SECOND expects z-resolved coords; the shared voxelizer gives
             # z=0 pillars, so this path assumes a z-resolved voxel batch
-            # (see SecondCfg). flax modules can't vmap; loop L*B (small).
-            feats = [
-                one(vf[b, l], batch["voxel_coords"][b, l],
-                    batch["voxel_num_points"][b, l],
-                    batch["voxel_mask"][b, l])
-                for b in range(B) for l in range(L)
-            ]
-            feat = jnp.stack(feats)
+            # (see SecondCfg). One traced branch for the whole agent axis.
+            feat = self.encoders[mod.name](
+                {"voxel_features": vf.reshape(B * L, *vf.shape[2:]),
+                 "voxel_coords": batch["voxel_coords"].reshape(
+                     B * L, *batch["voxel_coords"].shape[2:]),
+                 "voxel_num_points": batch["voxel_num_points"].reshape(
+                     B * L, *batch["voxel_num_points"].shape[2:]),
+                 "voxel_mask": batch["voxel_mask"].reshape(
+                     B * L, *batch["voxel_mask"].shape[2:])}, train)
         if self.aligners[mod.name] is not None:
             feat = self.aligners[mod.name](feat, train)
         return feat

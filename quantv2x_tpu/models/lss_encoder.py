@@ -31,6 +31,14 @@ class LSSCfg:
     feat_stride: int = 8                    # backbone downsample
     depth_bins: tuple = (1.0, 60.0, 1.0)    # (min, max, step)
     out_channels: int = 64
+    # image trunk (parity: CamEncode_Resnet101, lss_submodule.py:140-202,
+    # runs resnet101 layer1-3 bottleneck stages and fuses the last two
+    # scales). Default mirrors that 3-stage bottleneck structure at
+    # TPU-budget width; ("basic", (2, 2, 2), (32, 64, 128)) recovers the
+    # small trunk for tests.
+    trunk_block: str = "bottleneck"
+    trunk_blocks: tuple = (3, 4, 6)
+    trunk_filters: tuple = (64, 128, 256)
 
     @property
     def num_depth(self):
@@ -83,34 +91,39 @@ def frustum_to_ego(frustum, intrinsics, cam2ego_rot, cam2ego_trans):
 
 class CamEncode(nn.Module):
     """Image backbone -> (D + C) maps; depth softmax x features
-    (parity: lss_submodule.CamEncode)."""
+    (parity: lss_submodule.CamEncode_Resnet101:140-202 — bottleneck
+    trunk, last-two-scale fusion 'Up' module, depthnet head). Batched:
+    one conv pass for every camera of every agent."""
     depth_bins: int
     out_channels: int
+    trunk_block: str = "bottleneck"
+    trunk_blocks: tuple = (3, 4, 6)
+    trunk_filters: tuple = (64, 128, 256)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img, train: bool = False):
-        """img: (H, W, 3) -> (D, fH, fW, C)."""
-        x = img[None]
-        x = ConvBNReLU(32, 7, 2, dtype=self.dtype, name="stem")(x, train)
+    def __call__(self, imgs, train: bool = False):
+        """imgs: (N, H, W, 3) -> ((N, D, fH, fW, C), depth)."""
+        x = ConvBNReLU(32, 7, 2, dtype=self.dtype, name="stem")(imgs, train)
         # stem /2 x trunk strides (2, 2, 2): the fused scale (stage 1) sits
         # at the frustum's feat_stride of 8
         feats = ResNetModified(
-            (2, 2, 2), (2, 2, 2), (32, 64, 128), dtype=self.dtype,
-            name="trunk",
+            self.trunk_blocks, (2, 2, 2), self.trunk_filters,
+            block=self.trunk_block, groups=1, base_width=64,
+            dtype=self.dtype, name="trunk",
         )(x, train)
-        # fuse last two scales (upsample deepest)
+        # fuse last two scales (upsample deepest; parity: Up module)
         f2, f3 = feats[-2], feats[-1]
         f3u = jax.image.resize(f3, f2.shape[:3] + (f3.shape[-1],), "bilinear")
         x = jnp.concatenate([f2, f3u], axis=-1)
         x = ConvBNReLU(128, 3, dtype=self.dtype, name="neck")(x, train)
         head = nn.Conv(self.depth_bins + self.out_channels, (1, 1),
-                       dtype=self.dtype, name="depth_head")(x)[0]
+                       dtype=self.dtype, name="depth_head")(x)
         depth = jax.nn.softmax(head[..., : self.depth_bins], axis=-1)
         feat = head[..., self.depth_bins:]
-        # outer product: (fH, fW, D, 1) * (fH, fW, 1, C) -> (D, fH, fW, C)
+        # outer product: (N, fH, fW, D, 1) * (N, fH, fW, 1, C)
         vol = depth[..., :, None] * feat[..., None, :]
-        return vol.transpose(2, 0, 1, 3), depth
+        return vol.transpose(0, 3, 1, 2, 4), depth
 
 
 def voxel_pool(points_ego, volume, cfg: LSSCfg):
@@ -137,25 +150,40 @@ def voxel_pool(points_ego, volume, cfg: LSSCfg):
 
 
 class LSSEncoder(nn.Module):
-    """Multi-camera LSS -> BEV features (H, W, out_channels)."""
+    """Multi-camera LSS -> BEV features (H, W, out_channels).
+
+    Accepts a single agent's rig ((N_cam, H, W, 3) images) or a batched
+    one ((A, N_cam, H, W, 3)); batched input returns (A, H, W, C). All
+    A*N_cam images run the trunk in ONE conv batch, the geometry/splat is
+    vmapped — no per-agent or per-camera Python loops in the trace."""
     cfg: LSSCfg
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, intrinsics, cam2ego_rots, cam2ego_trans,
                  train: bool = False):
-        """images: (N_cam, H, W, 3); intrinsics: (N_cam, 3, 3);
-        cam2ego_rots: (N_cam, 3, 3); cam2ego_trans: (N_cam, 3)."""
+        """images: ([A,] N_cam, H, W, 3); intrinsics: ([A,] N_cam, 3, 3);
+        cam2ego_rots: ([A,] N_cam, 3, 3); cam2ego_trans: ([A,] N_cam, 3)."""
         cfg = self.cfg
+        batched = images.ndim == 5
+        if not batched:
+            images, intrinsics = images[None], intrinsics[None]
+            cam2ego_rots, cam2ego_trans = cam2ego_rots[None], cam2ego_trans[None]
+        A, Nc = images.shape[:2]
         frustum = create_frustum(cfg)
         cam_enc = CamEncode(cfg.num_depth, cfg.out_channels,
+                            trunk_block=cfg.trunk_block,
+                            trunk_blocks=cfg.trunk_blocks,
+                            trunk_filters=cfg.trunk_filters,
                             dtype=self.dtype, name="cam_encode")
+        vol, _ = cam_enc(images.reshape(A * Nc, *images.shape[2:]), train)
+        pts = jax.vmap(frustum_to_ego, in_axes=(None, 0, 0, 0))(
+            frustum, intrinsics.reshape(A * Nc, 3, 3),
+            cam2ego_rots.reshape(A * Nc, 3, 3),
+            cam2ego_trans.reshape(A * Nc, 3))
+        bev = jax.vmap(lambda p, v: voxel_pool(p, v, cfg))(pts, vol)
         H, W = cfg.bev_size
-        bev = jnp.zeros((H, W, cfg.out_channels), self.dtype)
-        for n in range(images.shape[0]):
-            vol, _ = cam_enc(images[n], train)
-            pts = frustum_to_ego(frustum, intrinsics[n], cam2ego_rots[n],
-                                 cam2ego_trans[n])
-            bev = bev + voxel_pool(pts, vol, cfg)
-        return ConvBNReLU(cfg.out_channels, 3, dtype=self.dtype,
-                          name="bev_out")(bev[None], train)[0]
+        bev = bev.reshape(A, Nc, H, W, cfg.out_channels).sum(axis=1)
+        out = ConvBNReLU(cfg.out_channels, 3, dtype=self.dtype,
+                         name="bev_out")(bev, train)
+        return out if batched else out[0]

@@ -7,16 +7,32 @@ option: voxel means scatter into a dense (D, H, W, C) grid and a Conv3D
 stack (XLA lowers 3D convs onto the MXU) downsamples to the shared BEV
 space; HeightCompression folds depth into channels.
 
+Capacity parity with VoxelBackBone8x (sparse_backbone_3d.py:33-92): the
+reference runs conv_input(16) -> conv1 (1x SubM 16) -> conv2 (stride +
+2x SubM, 32) -> conv3 (stride + 2x SubM, 64) -> conv4 (stride + 2x SubM,
+64) -> conv_out (128, z-stride). This dense twin keeps the same
+stage/channel/conv-count schedule (11 3D convs, 16-16-32-64-64 + 128 out)
+but spends its stride budget on Z (8 -> 4 -> 2 -> 1) and takes the single
+XY/2 at the last stage, because the dense grid already sits at the shared
+pillar XY resolution instead of spconv's 4x-finer sparse grid — same
+receptive capacity, no dense-memory blowup.
+
 At cooperative-perception voxel sizes (0.4 m XY, ~0.5 m Z over a 4 m band,
 D = 8) the dense grid is small enough that dense conv beats a gather/scatter
 submanifold emulation on TPU — occupancy is irrelevant to the MXU, which is
 fed fixed tiles either way.
+
+Batching discipline: `SECONDEncoder.__call__` natively accepts a leading
+agent axis ((N, V, P, F) voxel dicts) — the scatter is vmapped and every
+Conv3D runs on the (N, D, H, W, C) batch in one XLA op, matching the
+pillar path's one-GEMM all-agent convention (no per-agent Python loops).
 """
 
 import dataclasses
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from quantv2x_tpu.models.layers import BN_EPS, BN_MOMENTUM
@@ -26,7 +42,12 @@ from quantv2x_tpu.models.layers import BN_EPS, BN_MOMENTUM
 class SecondCfg:
     lidar_range: tuple
     voxel_size: tuple            # (vx, vy, vz) with vz << z-extent (D > 1)
-    channels: Sequence[int] = (16, 32, 64)
+    # (stem, stage1, stage2, stage3, stage4) channels — parity with
+    # VoxelBackBone8x's 16/16/32/64/64 schedule
+    channels: Sequence[int] = (16, 16, 32, 64, 64)
+    # extra convs per strided stage (reference: 2x SubMConv3d per stage)
+    blocks_per_stage: int = 2
+    conv_out_channels: int = 128  # conv_out width before HeightCompression
     out_channels: int = 64
 
     @property
@@ -39,9 +60,11 @@ class SecondCfg:
 
 
 def mean_vfe(voxel_features, voxel_num_points):
-    """Per-voxel mean of point features (parity: sub_modules/mean_vfe.py)."""
+    """Per-voxel mean of point features (parity: sub_modules/mean_vfe.py).
+
+    Accepts (..., V, P, F) with counts (..., V)."""
     counts = jnp.maximum(voxel_num_points, 1).astype(voxel_features.dtype)
-    return voxel_features.sum(axis=1) / counts[:, None]
+    return voxel_features.sum(axis=-2) / counts[..., None]
 
 
 def scatter_to_grid3d(feats, voxel_coords, voxel_mask, grid_dhw):
@@ -73,7 +96,10 @@ class ConvBNReLU3D(nn.Module):
 
 
 class SECONDEncoder(nn.Module):
-    """Dense voxel backbone -> BEV features at (H/2, W/2, out_channels)."""
+    """Dense voxel backbone -> BEV features at (H/2, W/2, out_channels).
+
+    Accepts a single-agent voxel dict ((V, P, F) features) or a batched one
+    ((N, V, P, F)); batched input returns (N, H/2, W/2, out_channels)."""
     cfg: SecondCfg
     dtype: jnp.dtype = jnp.float32
 
@@ -81,26 +107,43 @@ class SECONDEncoder(nn.Module):
     def __call__(self, voxels, train: bool = False):
         cfg = self.cfg
         nx, ny, nz = cfg.grid_size
-        feats = mean_vfe(voxels["voxel_features"], voxels["voxel_num_points"])
-        x = scatter_to_grid3d(
+        vf = voxels["voxel_features"]
+        batched = vf.ndim == 4
+        if not batched:
+            voxels = {k: v[None] for k, v in voxels.items()}
+            vf = vf[None]
+        feats = mean_vfe(vf, voxels["voxel_num_points"])
+        x = jax.vmap(scatter_to_grid3d, in_axes=(0, 0, 0, None))(
             feats.astype(self.dtype), voxels["voxel_coords"],
             voxels["voxel_mask"], (nz, ny, nx),
-        )[None]                                     # (1, D, H, W, C)
-        # stage 0: lift channels
-        x = ConvBNReLU3D(cfg.channels[0], dtype=self.dtype, name="stem")(
+        )                                           # (N, D, H, W, C)
+        ch = cfg.channels
+        # conv_input + conv1 (full-res submanifold stage)
+        x = ConvBNReLU3D(ch[0], dtype=self.dtype, name="stem")(x, train)
+        x = ConvBNReLU3D(ch[1], dtype=self.dtype, name="stage1_conv0")(
             x, train)
-        # stage 1: z/2 only
-        x = ConvBNReLU3D(cfg.channels[1], strides=(2, 1, 1),
-                         dtype=self.dtype, name="down_z")(x, train)
-        # stage 2: z/2, y/2, x/2 -> shared heter BEV resolution
-        x = ConvBNReLU3D(cfg.channels[2], strides=(2, 2, 2),
-                         dtype=self.dtype, name="down_all")(x, train)
-        # HeightCompression: fold remaining depth into channels
-        _, D, H, W, C = x.shape
-        x = x.transpose(0, 2, 3, 1, 4).reshape(1, H, W, D * C)
+        # conv2/conv3: z-strided stages, 1 strided + blocks_per_stage convs
+        for i, c in enumerate(ch[2:4], start=2):
+            x = ConvBNReLU3D(c, strides=(2, 1, 1), dtype=self.dtype,
+                             name=f"stage{i}_down")(x, train)
+            for k in range(cfg.blocks_per_stage):
+                x = ConvBNReLU3D(c, dtype=self.dtype,
+                                 name=f"stage{i}_conv{k}")(x, train)
+        # conv4: final z/2 + the single xy/2 to the shared stride-2 BEV
+        x = ConvBNReLU3D(ch[4], strides=(2, 2, 2), dtype=self.dtype,
+                         name="stage4_down")(x, train)
+        for k in range(cfg.blocks_per_stage):
+            x = ConvBNReLU3D(ch[4], dtype=self.dtype,
+                             name=f"stage4_conv{k}")(x, train)
+        # conv_out (z-collapse widening) + HeightCompression: fold the
+        # remaining depth into channels, project to the shared width
+        x = ConvBNReLU3D(cfg.conv_out_channels, kernel=3,
+                         dtype=self.dtype, name="conv_out")(x, train)
+        N, D, H, W, C = x.shape
+        x = x.transpose(0, 2, 3, 1, 4).reshape(N, H, W, D * C)
         x = nn.Conv(cfg.out_channels, (1, 1), dtype=self.dtype,
                     name="compress")(x)
-        return x[0]                                  # (H/2, W/2, out)
+        return x if batched else x[0]
 
 
 class SecondIntermediate(nn.Module):
@@ -159,15 +202,15 @@ class SecondIntermediate(nn.Module):
         c = self.cfg
         vf = batch["voxel_features"]
         B, L = vf.shape[:2]
-        feats = [
-            self.encoder(
-                {"voxel_features": vf[b, l],
-                 "voxel_coords": batch["voxel_coords"][b, l],
-                 "voxel_num_points": batch["voxel_num_points"][b, l],
-                 "voxel_mask": batch["voxel_mask"][b, l]}, train)
-            for b in range(B) for l in range(L)
-        ]
-        x = jnp.stack(feats)                         # (B*L, h, w, C0)
+        # one batched trunk over all B*L agents (no per-agent Python loop)
+        x = self.encoder(
+            {"voxel_features": vf.reshape(B * L, *vf.shape[2:]),
+             "voxel_coords": batch["voxel_coords"].reshape(
+                 B * L, *batch["voxel_coords"].shape[2:]),
+             "voxel_num_points": batch["voxel_num_points"].reshape(
+                 B * L, *batch["voxel_num_points"].shape[2:]),
+             "voxel_mask": batch["voxel_mask"].reshape(
+                 B * L, *batch["voxel_mask"].shape[2:])}, train)
         H, W = c.bev_hw
         affine = normalize_pairwise_tfm(
             batch["pairwise_t_matrix"], H, W, c.voxel.voxel_size[0]

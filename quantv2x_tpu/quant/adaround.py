@@ -159,6 +159,18 @@ class _StopCapture(Exception):
     quant/data_utils.py StopForwardException:94-120)."""
 
 
+def _first_init():
+    """Sow init for keep-first-call capture. flax's default ``init_fn``
+    returns ``()``; a plain ``reduce_fn=lambda a, b: a`` would then keep the
+    empty tuple forever (the round-2 sequential-capture bug). ``None`` marks
+    "nothing captured yet"."""
+    return None
+
+
+def _first_reduce(acc, value):
+    return value if acc is None else acc
+
+
 def capture_fp_outputs(model, variables, batches, cfg: ptq_mod.PTQConfig):
     """One FP pass per batch: per-unit FP outputs + module clones, in
     first-execution order (dict insertion order = reconstruction order).
@@ -187,7 +199,8 @@ def capture_fp_outputs(model, variables, batches, cfg: ptq_mod.PTQConfig):
                 order.append(path_s)
             if isinstance(out, jax.Array):
                 module.sow("cap_out", "out", out,
-                           reduce_fn=lambda a, b: a)   # keep first call
+                           init_fn=_first_init,
+                           reduce_fn=_first_reduce)   # keep first call
         return out
 
     def run(batch):
@@ -248,11 +261,12 @@ def capture_unit_inputs(model, qvariables, act_scales, batches,
             seen[0] = True        # first call per forward only
             static_extras[0] = tuple(
                 None if isinstance(a, jax.Array) else a for a in args[1:])
-            module.sow("cap_in", "inp", args[0], reduce_fn=lambda a, b: a)
+            module.sow("cap_in", "inp", args[0],
+                       init_fn=_first_init, reduce_fn=_first_reduce)
             for i, a in enumerate(args[1:]):
                 if isinstance(a, jax.Array):
                     module.sow("cap_in", f"extra{i}", a,
-                               reduce_fn=lambda a_, b_: a_)
+                               init_fn=_first_init, reduce_fn=_first_reduce)
         out = next_fn(*args, **kwargs)
         if is_unit and path_s in act_scales:
             delta, zp = act_scales[path_s]

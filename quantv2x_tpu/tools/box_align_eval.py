@@ -87,17 +87,66 @@ def evaluate_alignment(frames: Sequence[dict], pos_std: float,
     }
 
 
+def precalc_dataset_cache(root: str, stage1_dir: str, max_cav: int,
+                          max_boxes: int = 32, dataset_mode: str = "vc"):
+    """Write the stage-1 box cache V2XDataset.box_align consumes.
+
+    Parity: tools/pose_graph_pre_calc.py — the reference runs a trained
+    stage-1 single-agent model over the dataset and caches per-cav box
+    detections. Without a real sensor model here, the per-agent boxes come
+    from the yaml GT expressed in each cav's own frame (what a perfect
+    stage-1 detector would output in its sensor frame); plug in a trained
+    single-agent model by replacing `simulate_stage1_from_gt`."""
+    from quantv2x_tpu.data.box_align import (
+        gt_world_centers, save_stage1_cache, simulate_stage1_from_gt,
+    )
+    from quantv2x_tpu.data.dataset import V2XDataset
+
+    ds = V2XDataset(root, dataset_mode=dataset_mode, max_cav=max_cav)
+    n = 0
+    for si, scen in enumerate(ds.scenarios):
+        cav_ids = list(scen["cavs"].keys())
+        for ti, ts in enumerate(scen["timestamps"]):
+            idx = ds.index.index((si, ti))
+            frame = ds[idx]
+            world = gt_world_centers(frame["gt_boxes"],
+                                     frame["agent_poses"][0])
+            centers, mask = simulate_stage1_from_gt(
+                world, frame["gt_mask"], frame["agent_poses"],
+                frame["agent_mask"], max_boxes)
+            save_stage1_cache(stage1_dir, scen["name"], ts,
+                              cav_ids[: centers.shape[0]], centers, mask)
+            n += 1
+    return n
+
+
 def main(argv: Optional[Sequence[str]] = None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--max_cav", type=int, default=3)
     ap.add_argument("--pos-std", type=float, default=0.4)
     ap.add_argument("--yaw-std", type=float, default=2.0)
+    ap.add_argument("--precalc_root", default="",
+                    help="OPV2V-format dataset root: write the stage-1 "
+                         "box cache instead of the synthetic eval "
+                         "(parity: tools/pose_graph_pre_calc.py)")
+    ap.add_argument("--stage1_dir", default="",
+                    help="cache output dir for --precalc_root")
     ap.add_argument("--json", default="")
     args = ap.parse_args(argv)
 
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+    if args.precalc_root:
+        if not args.stage1_dir:
+            raise SystemExit("--precalc_root needs --stage1_dir")
+        n = precalc_dataset_cache(args.precalc_root, args.stage1_dir,
+                                  args.max_cav)
+        print(json.dumps({"cached_frames": n,
+                          "stage1_dir": args.stage1_dir}))
+        return
+
     from quantv2x_tpu.data.synthetic import SyntheticCfg, make_frame
 
     frames = [make_frame(SyntheticCfg(

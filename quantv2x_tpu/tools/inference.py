@@ -22,7 +22,7 @@ def run_eval(model, variables, batches, hypes, apply_fn=None, act_scales=None):
     from quantv2x_tpu.data.postprocess import decode_detections
     from quantv2x_tpu.utils import box_utils as bu
     from quantv2x_tpu.utils.eval_ap import (
-        accumulate_frame, new_result_stat, summarize,
+        accumulate_frame, mask_gt_range, new_result_stat, summarize,
     )
 
     anchors = anc.generate_anchors(hypes.anchors)[0]
@@ -49,9 +49,13 @@ def run_eval(model, variables, batches, hypes, apply_fn=None, act_scales=None):
         if i > 0:
             lat.append(time.time() - t0)
         gt_corners = bu.boxes_to_corners_3d(batch["gt_boxes"][0], "hwl")
+        # GT masked to the eval range (parity:
+        # base_postprocessor_multi_class.py:97-143) — predictions already are
+        gt_mask = mask_gt_range(gt_corners, batch["gt_mask"][0],
+                                ppcfg.gt_range)
         accumulate_frame(
             stat, det["corners"], det["scores"], det["labels"], det["valid"],
-            gt_corners, batch["gt_classes"][0], batch["gt_mask"][0],
+            gt_corners, batch["gt_classes"][0], gt_mask,
         )
     return summarize(stat), float(np.mean(lat)) if lat else 0.0
 
@@ -72,7 +76,7 @@ def run_eval_single(model, variables, frames, hypes, contract, frame_vox):
     )
     from quantv2x_tpu.utils import box_utils as bu
     from quantv2x_tpu.utils.eval_ap import (
-        accumulate_frame, new_result_stat, summarize,
+        accumulate_frame, mask_gt_range, new_result_stat, summarize,
     )
     from quantv2x_tpu.utils.transformation import np_pose_to_world
 
@@ -113,10 +117,10 @@ def run_eval_single(model, variables, frames, hypes, contract, frame_vox):
             lat.append(time.time() - t0)
         gt_corners = bu.boxes_to_corners_3d(jnp.asarray(frame["gt_boxes"]),
                                             "hwl")
+        gt_mask = mask_gt_range(gt_corners, frame["gt_mask"], ppcfg.gt_range)
         accumulate_frame(
             stat, det["corners"], det["scores"], det["labels"], det["valid"],
-            gt_corners, jnp.asarray(frame["gt_classes"]),
-            jnp.asarray(frame["gt_mask"]),
+            gt_corners, jnp.asarray(frame["gt_classes"]), gt_mask,
         )
     return summarize(stat), float(np.mean(lat)) if lat else 0.0
 

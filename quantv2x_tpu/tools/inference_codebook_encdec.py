@@ -46,7 +46,7 @@ def main():
     from quantv2x_tpu.train.trainer import OptimCfg, create_train_state
     from quantv2x_tpu.utils import box_utils as bu
     from quantv2x_tpu.utils.eval_ap import (
-        accumulate_frame, new_result_stat, summarize,
+        accumulate_frame, mask_gt_range, new_result_stat, summarize,
     )
 
     hypes = load_hypes(args.hypes)
@@ -124,9 +124,11 @@ def main():
         if i > 0:
             lat.append(time.time() - t0)
         gt_corners = bu.boxes_to_corners_3d(batch["gt_boxes"][0], "hwl")
+        gt_mask = mask_gt_range(gt_corners, batch["gt_mask"][0],
+                                hypes.postprocess.gt_range)
         accumulate_frame(stat, det["corners"], det["scores"], det["labels"],
                          det["valid"], gt_corners, batch["gt_classes"][0],
-                         batch["gt_mask"][0])
+                         gt_mask)
 
     h, w = codes.shape[2], codes.shape[3]
     payload_bytes = h * w * bits_per_px / 8

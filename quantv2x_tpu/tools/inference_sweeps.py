@@ -34,6 +34,12 @@ def main():
                     help="latency sweep: simulated collaborator speed")
     ap.add_argument("--synthetic", type=int, default=8)
     ap.add_argument("--max_cav", type=int, default=4)
+    ap.add_argument("--box_align", action="store_true",
+                    help="noise sweep: add a second arm that corrects the "
+                         "noisy poses via the stage-1 box-align pose graph "
+                         "before fusion (parity: box_align in __getitem__, "
+                         "intermediate_heter_fusion_3class_dataset.py:"
+                         "399-427)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -91,17 +97,41 @@ def main():
 
     results = {}
     if args.sweep == "noise":
-        rng = np.random.default_rng(0)
+        from quantv2x_tpu.data.box_align import (
+            BoxAlignCfg, apply_box_align, gt_world_centers,
+            simulate_stage1_from_gt,
+        )
+        ba_cfg = BoxAlignCfg(enabled=True)
         for std in [0.0, 0.2, 0.4, 0.6, 1.0]:
             cfg = NoiseCfg(pos_std=std, rot_std=std)
-            batches = [
-                frame_to_batch(add_pose_noise(f, cfg, rng), hypes.voxel,
-                               max_cav=args.max_cav)
-                for f in frames
-            ]
+            rng = np.random.default_rng(0)        # same noise both arms
+            noisy = [add_pose_noise(f, cfg, rng) for f in frames]
+            batches = [frame_to_batch(f, hypes.voxel, max_cav=args.max_cav)
+                       for f in noisy]
             summary, lat = run_eval(model, variables, batches, hypes)
             results[f"std_{std}"] = summary["mAP"]
             print(f"[sweep] noise std={std}: mAP@0.5={summary['mAP'][0.5]:.4f}")
+            if args.box_align:
+                # stage-1 centers from the CLEAN frame (a per-agent
+                # detector sees its own sensor frame — immune to the pose
+                # noise); the pose graph then corrects the noisy poses
+                aligned = []
+                for f_clean, f_noisy in zip(frames, noisy):
+                    world = gt_world_centers(f_clean["gt_boxes"],
+                                             f_clean["agent_poses"][0])
+                    centers, bmask = simulate_stage1_from_gt(
+                        world, f_clean["gt_mask"],
+                        f_clean["agent_poses"], f_clean["agent_mask"],
+                        ba_cfg.max_boxes)
+                    aligned.append(apply_box_align(f_noisy, centers, bmask,
+                                                   ba_cfg))
+                batches = [frame_to_batch(f, hypes.voxel,
+                                          max_cav=args.max_cav)
+                           for f in aligned]
+                summary, lat = run_eval(model, variables, batches, hypes)
+                results[f"std_{std}_aligned"] = summary["mAP"]
+                print(f"[sweep] noise std={std} +box_align: "
+                      f"mAP@0.5={summary['mAP'][0.5]:.4f}")
     elif args.sweep == "latency":
         # communication time-delay robustness (parity: wild_setting async,
         # v2xreal_basedataset.py:89-122 + noise_sim.WildCfg). On synthetic

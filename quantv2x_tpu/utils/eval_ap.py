@@ -34,6 +34,22 @@ def new_range_stats(num_classes: int = 3, ious=DEFAULT_IOUS):
     return {name: new_result_stat(num_classes, ious) for name in RANGE_BANDS}
 
 
+def mask_gt_range(gt_corners, gt_valid, gt_range):
+    """AND the GT validity mask with a center-in-range check.
+
+    Parity: the reference masks ground truth to the evaluation range before
+    it ever reaches the AP accumulator
+    (opencood/data_utils/post_processor/base_postprocessor_multi_class.py:
+    97-143, GT_RANGE at :129-139 via mask_boxes_outside_range_numpy). On
+    real data GT is the union of ALL cavs' objects — far beyond ego range —
+    so skipping this systematically depresses every AP number."""
+    c = np.asarray(gt_corners).mean(axis=-2)
+    lo = np.asarray(gt_range[:2])
+    hi = np.asarray(gt_range[3:5])
+    inside = np.all((c[..., :2] > lo) & (c[..., :2] < hi), axis=-1)
+    return np.asarray(gt_valid, bool) & inside
+
+
 def accumulate_frame_by_range(range_stats, det_corners, det_scores,
                               det_labels, det_valid, gt_corners, gt_labels,
                               gt_valid, ious=DEFAULT_IOUS):

@@ -228,3 +228,110 @@ class TestPrefetchLoader:
         assert len(batches) == 2 * n
         for b in batches:
             assert np.asarray(b["agent_mask"]).any()
+
+
+class TestPcdFormats:
+    """Golden-fixture pcd parsing parity (reference reads via pypcd,
+    opencood/utils/pcd_utils.py:12-41, incl. binary_compressed which
+    DAIR-V2X ships)."""
+
+    _PTS = np.array([[1.5, -2.0, 0.25, 0.7],
+                     [10.0, 4.0, -1.0, 0.1],
+                     [-3.25, 0.5, 2.0, 0.9]], np.float32)
+
+    def _header(self, n, mode):
+        return (
+            "# .PCD v0.7 - Point Cloud Data file format\n"
+            "VERSION 0.7\nFIELDS x y z intensity\nSIZE 4 4 4 4\n"
+            "TYPE F F F F\nCOUNT 1 1 1 1\n"
+            f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+            f"POINTS {n}\nDATA {mode}\n"
+        ).encode()
+
+    def test_ascii(self, tmp_path):
+        p = tmp_path / "a.pcd"
+        body = "\n".join(" ".join(f"{v:.6f}" for v in row)
+                         for row in self._PTS)
+        p.write_bytes(self._header(3, "ascii") + body.encode())
+        np.testing.assert_allclose(load_lidar(str(p)), self._PTS, atol=1e-5)
+
+    def test_binary(self, tmp_path):
+        p = tmp_path / "b.pcd"
+        p.write_bytes(self._header(3, "binary") + self._PTS.tobytes())
+        np.testing.assert_allclose(load_lidar(str(p)), self._PTS)
+
+    def test_binary_compressed_roundtrip(self, tmp_path):
+        # SoA layout + literal-run LZF encoding (ctrl<32 = ctrl+1 literals)
+        soa = self._PTS.T.copy().tobytes()  # x*n, y*n, z*n, i*n
+        comp = bytearray()
+        for off in range(0, len(soa), 32):
+            chunk = soa[off:off + 32]
+            comp.append(len(chunk) - 1)
+            comp += chunk
+        p = tmp_path / "c.pcd"
+        p.write_bytes(self._header(3, "binary_compressed")
+                      + np.array([len(comp), len(soa)],
+                                 np.uint32).tobytes() + bytes(comp))
+        np.testing.assert_allclose(load_lidar(str(p)), self._PTS)
+
+    def test_lzf_backreference_path(self):
+        from quantv2x_tpu.data.dataset import _lzf_decompress
+        # literal "abc" then a length-6 backreference at distance 3
+        stream = bytes([2]) + b"abc" + bytes([(4 << 5), 2])
+        assert _lzf_decompress(stream, 9) == b"abcabcabc"
+
+    def test_binary_mixed_dtypes(self, tmp_path):
+        # intensity stored as uint8 must be honored, not read as float32
+        hdr = (
+            "VERSION 0.7\nFIELDS x y z intensity\nSIZE 4 4 4 1\n"
+            "TYPE F F F U\nCOUNT 1 1 1 1\nWIDTH 2\nHEIGHT 1\n"
+            "POINTS 2\nDATA binary\n"
+        ).encode()
+        rec = np.zeros(2, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4"),
+                                 ("intensity", "u1")])
+        rec["x"] = [1.0, 2.0]
+        rec["y"] = [3.0, 4.0]
+        rec["z"] = [5.0, 6.0]
+        rec["intensity"] = [7, 255]
+        p = tmp_path / "m.pcd"
+        p.write_bytes(hdr + rec.tobytes())
+        out = load_lidar(str(p))
+        np.testing.assert_allclose(out[:, 0], [1.0, 2.0])
+        np.testing.assert_allclose(out[:, 3], [7.0, 255.0])
+
+
+class TestFullMatrixProjection:
+    """GT projection must compose full 4x4s, not sum yaws (parity:
+    box_utils.project_world_objects projects corners through the 4x4)."""
+
+    def _tree(self, tmp_path, ego_pose):
+        root = tmp_path / "slope_root"
+        d = root / "s0" / "1"
+        d.mkdir(parents=True)
+        obj = {"location": [15.0, 3.0, 0.5], "extent": [2.0, 1.0, 0.8],
+               "angle": [0.0, 25.0, 0.0], "obj_type": "Car"}
+        (d / "000068.yaml").write_text(yaml.safe_dump(
+            {"lidar_pose": list(ego_pose), "vehicles": {"7": obj}}))
+        np.zeros((10, 4), np.float32).tofile(d / "000068.bin")
+        return str(root)
+
+    def test_yaw_under_ego_pitch(self, tmp_path):
+        from quantv2x_tpu.utils.transformation import np_pose_to_world
+
+        ego_pose = [2.0, -1.0, 1.5, 5.0, 40.0, 10.0]  # roll 5, pitch 10
+        ds = V2XDataset(self._tree(tmp_path, ego_pose), "v2v",
+                        max_cav=1, max_points=20)
+        frame = ds[0]
+        box = frame["gt_boxes"][frame["gt_mask"]][0]
+
+        # independent golden computation through full matrices
+        T_we = np_pose_to_world(np.asarray(ego_pose, np.float64))
+        T_wo = np_pose_to_world(np.array([15.0, 3.0, 0.5, 0.0, 25.0, 0.0]))
+        T_eo = np.linalg.inv(T_we) @ T_wo
+        exp_center = T_eo[:3, 3]
+        exp_yaw = np.arctan2(T_eo[1, 0], T_eo[0, 0])
+        np.testing.assert_allclose(box[:3], exp_center, atol=1e-5)
+        assert box[6] == pytest.approx(exp_yaw, abs=1e-6)
+        # the flat-ground shortcut (yaw_obj - yaw_ego) is measurably wrong
+        flat = np.radians(25.0 - 40.0)
+        assert abs(exp_yaw - flat) > 1e-3

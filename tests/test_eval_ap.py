@@ -77,3 +77,35 @@ def test_duplicate_detection_is_fp():
     )
     s = stat[1][0.5]
     assert s["tp"] == [1, 0] and s["fp"] == [0, 1]
+
+
+def test_gt_range_mask_drops_out_of_range_gt():
+    """Out-of-range GT must not count as a miss (parity:
+    base_postprocessor_multi_class.py:97-143 GT_RANGE masking)."""
+    from quantv2x_tpu.utils.eval_ap import mask_gt_range
+
+    gt = np.array([[0, 0, 0, 4, 2, 1.5, 0.0],
+                   [500, 0, 0, 4, 2, 1.5, 0.0]], np.float32)
+    det = gt[:1]
+    gt_range = (-140.8, -40.0, -3.0, 140.8, 40.0, 1.0)
+    gt_mask = mask_gt_range(_corners(gt), np.ones(2, bool), gt_range)
+    assert gt_mask.tolist() == [True, False]
+
+    stat = new_result_stat(num_classes=1)
+    accumulate_frame(
+        stat, _corners(det), np.array([0.9]), np.array([1]),
+        np.ones(1, bool), _corners(gt), np.array([1, 1]), gt_mask,
+    )
+    res = summarize(stat)
+    # without the range mask the far GT would be a miss -> AP 0.5
+    assert res[1][0.5] == 1.0
+
+
+def test_gt_range_mask_respects_existing_invalid():
+    from quantv2x_tpu.utils.eval_ap import mask_gt_range
+
+    gt = np.array([[0, 0, 0, 4, 2, 1.5, 0.0],
+                   [5, 0, 0, 4, 2, 1.5, 0.0]], np.float32)
+    gt_range = (-140.8, -40.0, -3.0, 140.8, 40.0, 1.0)
+    m = mask_gt_range(_corners(gt), np.array([True, False]), gt_range)
+    assert m.tolist() == [True, False]
