@@ -87,6 +87,12 @@ class ReconCfg:
     alpha_lr: float = 1e-2           # reference 1e-3..1e-2 range
     act_lr: float = 4e-5             # LSQ lr (inference_mc_quant.py:287)
     batch_size: int = 8192           # max samples per unit (0 = all)
+    # rows drawn per optimization step (parity: block_recon's per-iter
+    # random calib minibatch). 0 = auto: ~16M input elements per step —
+    # full feature maps use ~8 rows, pillar-row units thousands. Without
+    # this, every iter consumes the whole capture pool (measured ~7 min
+    # per flagship conv unit at 5000 iters; minibatched: seconds).
+    iter_rows: int = 0
     sequential: bool = True          # per-unit input re-capture (parity)
     # --- prediction-level terms (parity: block_recon.py LossFunction
     # :262-312 hetero KL + misalignment, pyramid_recon.py:61-85 heads from
@@ -492,6 +498,20 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
     data = {"x": x, "y_fp": y_fp, "fp_params": fp_params,
             "extra": extra_arrays, "bs": batch_stats}
 
+    # per-iter minibatch rows (parity: block_recon draws a random calib
+    # minibatch each step). auto targets ~16M input elements per step.
+    n_rows = x.shape[0]
+    rows = rcfg.iter_rows or int(np.clip(
+        16_000_000 // max(int(np.prod(x.shape[1:])), 1), 8, n_rows))
+    rows = min(rows, n_rows)
+
+    def _gather_rows(data, idx):
+        sel = lambda a: a[idx] if (
+            isinstance(a, jax.Array) and a.ndim >= 1
+            and a.shape[0] == n_rows) else a
+        return dict(data, x=data["x"][idx], y_fp=data["y_fp"][idx],
+                    extra=tuple(sel(a) for a in data["extra"]))
+
     @jax.jit
     def optimize(opt_vars, opt_state, data):
         # whole reconstruction as ONE compiled loop — per-step dispatch over
@@ -500,8 +520,14 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             opt_vars, opt_state, _ = carry
             t = jnp.clip((it - warm) / max(rcfg.iters - warm, 1), 0.0, 1.0)
             beta = rcfg.b_start + (rcfg.b_end - rcfg.b_start) * t
+            if rows < n_rows:
+                idx = jax.random.randint(
+                    jax.random.fold_in(rng, it), (rows,), 0, n_rows)
+                data_it = _gather_rows(data, idx)
+            else:
+                data_it = data
             (loss, recon), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(opt_vars, beta, data)
+                loss_fn, has_aux=True)(opt_vars, beta, data_it)
             updates, opt_state = tx.update(grads, opt_state)
             return (optax.apply_updates(opt_vars, updates), opt_state, recon)
 

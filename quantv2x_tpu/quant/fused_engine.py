@@ -67,7 +67,8 @@ def grouped_to_superblocks(kernel, groups: int):
     return jnp.transpose(diag, (1, 2, 0, 3, 4))
 
 
-def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
+def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0,
+                       pack_grouped: bool = True):
     """{block_path: (w1, b1, w2, b2)} for every fusable BasicBlock.
 
     Fusable = stride-1, no downsample branch (the BasicBlock module only
@@ -78,6 +79,12 @@ def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
     Mosaic's manual-DMA slices force lane padding to 128 channels, so C=64
     blocks pay 2x bytes in the kernel — on a bandwidth-bound device fusing
     only C>=128 blocks is the measured-faster configuration.
+
+    ``pack_grouped=False`` keeps bottleneck w2 in the original grouped
+    (kh, kw, cpg, out) layout instead of the kernel's supergroup/blockdiag
+    packing — the differentiable form the engine's AdaRound refinement
+    optimizes (packing is a pure layout transform, so integer codes
+    produced in grouped form pack bit-identically).
     """
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -160,7 +167,9 @@ def build_fused_tables(variables, dtype=jnp.bfloat16, min_channels: int = 0):
                     s["s2"]["mean"], s["s2"]["var"])
                 cpg, out_ch = w2g.shape[2], w2g.shape[3]
                 groups = out_ch // cpg
-                if (groups > 1 and out_ch % 128 == 0
+                if not pack_grouped:
+                    w2 = w2g
+                elif (groups > 1 and out_ch % 128 == 0
                         and 128 % cpg == 0):
                     w2 = grouped_to_superblocks(w2g, groups)
                 elif groups > 1:

@@ -40,12 +40,20 @@ from quantv2x_tpu.quant.fused_engine import build_fused_tables
 from quantv2x_tpu.quant.quantizer import _delta_zp_from_range
 
 
-def observe_engine_ranges(model, variables, batches, cfg=None):
+def observe_engine_ranges(model, variables, batches, cfg=None,
+                          sample_size: int = 0):
     """One calibration pass -> ({unit_path: (lo, hi)}, {block_path: (lo,
-    hi)}): ConvBNReLU INPUT ranges plus Basic/Bottleneck OUTPUT ranges.
+    hi)}[, unit_samples, block_samples]): ConvBNReLU INPUT ranges plus
+    Basic/Bottleneck OUTPUT ranges.
 
     Honors cfg.act_percentile with the same per-batch two-sided quantile
-    + running min/max semantics as quant/ptq.py observers."""
+    + running min/max semantics as quant/ptq.py observers.
+
+    ``sample_size > 0`` additionally sows a strided subsample of every
+    boundary tensor (for the MSE clip search) and switches the return to a
+    4-tuple with {path: (n_samples,) np.float32} dicts."""
+    import numpy as np
+
     cfg = cfg or ptq_mod.PTQConfig()
     q = cfg.act_percentile
 
@@ -62,6 +70,13 @@ def observe_engine_ranges(model, variables, batches, cfg=None):
             reduce_fn=lambda a, b: (jnp.minimum(a[0], b[0]),
                                     jnp.maximum(a[1], b[1])))
 
+    def _sow_sample(module, col, x):
+        flat = x.astype(jnp.float32).ravel()
+        stride = max(1, flat.shape[0] // sample_size)
+        module.sow(f"{col}_s", "sample", flat[::stride][:sample_size],
+                   init_fn=lambda: None,
+                   reduce_fn=lambda a, b: b if a is None else a)
+
     def interceptor(next_fn, args, kwargs, context):
         module = context.module
         path_s = ptq_mod._path_str(module.path)
@@ -70,20 +85,28 @@ def observe_engine_ranges(model, variables, batches, cfg=None):
                 and isinstance(args[0], jax.Array)):
             if isinstance(module, ConvBNReLU):
                 _sow(module, "in_range", _range(args[0]))
+                if sample_size:
+                    _sow_sample(module, "in_range", args[0])
             elif isinstance(module, (BasicBlock, Bottleneck)):
                 out = next_fn(*args, **kwargs)
                 _sow(module, "out_range", _range(out))
+                if sample_size:
+                    _sow_sample(module, "out_range", out)
                 return out
         return next_fn(*args, **kwargs)
+
+    cols = ["quant_obs"] + (["in_range_s", "out_range_s"] if sample_size
+                            else [])
 
     def run(batch):
         with nn.intercept_methods(interceptor):
             _, mut = model.apply(variables, batch, train=False,
-                                 mutable=["quant_obs"])
-        return mut["quant_obs"]
+                                 mutable=cols)
+        return mut
 
     run_j = jax.jit(run)
     unit_ranges, block_ranges = {}, {}
+    unit_samples, block_samples = {}, {}
 
     def merge(dst, path_s, lo, hi):
         if path_s in dst:
@@ -103,9 +126,65 @@ def observe_engine_ranges(model, variables, batches, cfg=None):
             elif isinstance(v, dict):
                 flatten(v, prefix + (k,))
 
+    def flatten_samples(tree, dst, prefix=()):
+        for k, v in tree.items():
+            if k == "sample":
+                arr = np.asarray(v[0] if isinstance(v, tuple) else v,
+                                 np.float32)
+                dst.setdefault(ptq_mod._path_str(prefix), []).append(arr)
+            elif isinstance(v, dict):
+                flatten_samples(v, dst, prefix + (k,))
+
     for batch in batches:
-        flatten(jax.device_get(run_j(batch)))
-    return unit_ranges, block_ranges
+        mut = jax.device_get(run_j(batch))
+        flatten(mut["quant_obs"])
+        if sample_size:
+            flatten_samples(mut.get("in_range_s", {}), unit_samples)
+            flatten_samples(mut.get("out_range_s", {}), block_samples)
+    if not sample_size:
+        return unit_ranges, block_ranges
+    unit_samples = {p: np.concatenate(v) for p, v in unit_samples.items()}
+    block_samples = {p: np.concatenate(v) for p, v in block_samples.items()}
+    return unit_ranges, block_ranges, unit_samples, block_samples
+
+
+def _mse_clip(sample, lo, hi, n_bits: int = 8, steps: int = 64,
+              p: float = 2.4):
+    """Grid-search the clip range minimizing Lp quantization error on a
+    calibration sample (parity: UniformAffineQuantizer's 'mse' scale
+    search, quant_layer.py:201-271, Lp(2.4); geometric candidates down to
+    1% of the observed range so heavy-tailed boundaries still find the
+    optimum — the reference's linear 1%-shrink sweep bottoms out at 20%)."""
+    import numpy as np
+
+    levels = 2 ** n_bits - 1
+    best = (lo, hi)
+    best_score = np.inf
+    for f in np.geomspace(1.0, 0.01, steps):
+        clo, chi = lo * f, hi * f
+        if chi - clo < 1e-8:
+            break
+        d = (chi - clo) / levels
+        zp = np.round(-clo / d)
+        q = np.clip(np.round(sample / d) + zp, 0, levels)
+        deq = (q - zp) * d
+        score = float(np.mean(np.abs(deq - sample) ** p))
+        if score < best_score:
+            best_score, best = score, (float(clo), float(chi))
+    return best
+
+
+def _entropy_clip(sample, lo, hi, n_bits: int = 8, bins: int = 2048):
+    """KL-minimizing clip from a sample histogram (the TensorRT
+    IInt8EntropyCalibrator role — bulk-distribution-weighted, unlike the
+    tail-dominated Lp search; parity tools/build_trt_int8.py:46-141 via
+    quant/ptq._entropy_clip_from_hist)."""
+    import numpy as np
+
+    from quantv2x_tpu.quant.ptq import _entropy_clip_from_hist
+
+    counts, _ = np.histogram(sample, bins=bins, range=(lo, hi))
+    return _entropy_clip_from_hist(counts.astype(np.int64), lo, hi, n_bits)
 
 
 def _grid(lo, hi):
@@ -139,11 +218,24 @@ def _ksum(wq):
     return wq.astype(jnp.float32).sum(axis=axes)
 
 
-def _conv_tables(w, b, in_grid):
+def _wscales(w):
+    """Per-out-channel symmetric deltas (the _wquant grid, codes aside)."""
+    axes = (0, 1, 3) if w.ndim == 5 else tuple(range(w.ndim - 1))
+    amax = jnp.abs(w).max(axis=axes, keepdims=True)
+    return jnp.maximum(amax / 127.0, 1e-12)
+
+
+def _conv_tables(w, b, in_grid, wq=None):
     """Quantize one folded conv: (wq, sb) with the zero-point correction
-    folded into the bias row. sb = [scale; bias'] (2, cout) f32."""
+    folded into the bias row. sb = [scale; bias'] (2, cout) f32.
+
+    ``wq`` overrides the nearest-rounded codes (AdaRound-refined codes on
+    the same per-channel symmetric grid)."""
     d_in, ezp_in = in_grid
-    wq, dw = _wquant(w)
+    if wq is None:
+        wq, dw = _wquant(w)
+    else:
+        dw = _wscales(w).reshape(-1)
     scale = d_in * dw
     bias = b.astype(jnp.float32) - ezp_in * _ksum(wq) * scale
     return wq, jnp.stack([scale, bias])
@@ -161,16 +253,235 @@ def dequantize_codes(s, grid):
     return (s.astype(jnp.float32) - ezp) * d
 
 
+def capture_block_io(model, variables, calib_batches, block_paths):
+    """{block_path: (inputs (N, H, W, C), fp_outputs (N, H, W, C))} over
+    the calibration batches — one jitted sow pass per batch (the adaround
+    capture discipline: eager interception costs one tunnel dispatch per
+    op on the remote backend)."""
+    import numpy as np
+
+    targets = set(block_paths)
+
+    def interceptor(next_fn, args, kwargs, context):
+        module = context.module
+        path_s = ptq_mod._path_str(module.path)
+        if (context.method_name == "__call__"
+                and isinstance(module, (BasicBlock, Bottleneck))
+                and path_s in targets
+                and isinstance(args[0], jax.Array)):
+            module.sow("blk_io", "inp", args[0],
+                       init_fn=lambda: None,
+                       reduce_fn=lambda a, b: b if a is None else a)
+            out = next_fn(*args, **kwargs)
+            module.sow("blk_io", "out", out,
+                       init_fn=lambda: None,
+                       reduce_fn=lambda a, b: b if a is None else a)
+            return out
+        return next_fn(*args, **kwargs)
+
+    def run(batch):
+        with nn.intercept_methods(interceptor):
+            _, mut = model.apply(variables, batch, train=False,
+                                 mutable=["blk_io"])
+        return mut["blk_io"]
+
+    run_j = jax.jit(run)
+    store = {}
+
+    def flatten(tree, key, dst, prefix=()):
+        for k, v in tree.items():
+            if k == key:
+                # f16 on host: flagship stage-1 block IO is ~1 GB/block
+                # in f32 across 16 calib batches
+                arr = np.asarray(v[0] if isinstance(v, tuple) else v,
+                                 np.float16)
+                dst.setdefault(ptq_mod._path_str(prefix), []).append(arr)
+            elif isinstance(v, dict):
+                flatten(v, key, dst, prefix + (k,))
+
+    ins, outs = {}, {}
+    for batch in calib_batches:
+        caps = jax.device_get(run_j(batch))
+        flatten(caps, "inp", ins)
+        flatten(caps, "out", outs)
+    for p in ins:
+        store[p] = (np.concatenate(ins[p]), np.concatenate(outs[p]))
+    return store
+
+
+def _ste_fq(x, grid):
+    """Straight-through fake quant on a stored-int8 grid."""
+    d, ezp = grid
+    q = (jnp.clip(jnp.round(x / d) + ezp, -128, 127) - ezp) * d
+    return x + jax.lax.stop_gradient(q - x)
+
+
+def refine_block_rounding(kind, ws, grids, g_out, x, y_fp, iters: int = 600,
+                          lr: float = 1e-2, rows: int = 8, seed: int = 0):
+    """AdaRound at the fused-block granularity: learn each folded conv's
+    rounding mask to reconstruct the FP block output under the engine's
+    boundary grids (parity: quant/block_recon.py:93-232 applied to the
+    TensorRT-split blocks; soft rounding + annealed relaxation from
+    quant/adaround.py).
+
+    ws: folded float convs with bottleneck w2 in GROUPED (3, 3, cpg, out)
+    layout (build_fused_tables(pack_grouped=False)). Returns int8 codes
+    per conv in the same layouts (pack afterwards), or None when learned
+    rounding fails to beat nearest on the calibration recon error."""
+    import optax
+
+    from quantv2x_tpu.quant.adaround import (alpha_init, rect_sigmoid,
+                                             round_loss)
+
+    weights = list(ws[0::2])
+    biases = list(ws[1::2])
+    dws = [_wscales(w) for w in weights]
+    floors = [jnp.floor(w / d) for w, d in zip(weights, dws)]
+    alphas0 = {
+        str(i): alpha_init(w.astype(jnp.float32), d)
+        for i, (w, d) in enumerate(zip(weights, dws))
+    }
+    groups = 1
+    if kind != "basic":
+        cpg, out_ch = weights[1].shape[2], weights[1].shape[3]
+        groups = out_ch // cpg
+
+    def soft_w(i, alphas, hard):
+        h = rect_sigmoid(alphas[str(i)])
+        r = (h >= 0.5).astype(jnp.float32) if hard else h
+        codes = jnp.clip(floors[i] + r, -127, 127)
+        return codes * dws[i]
+
+    def conv3x3(x, w, grp=1):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn,
+            feature_group_count=grp)
+
+    def sim(x, alphas, hard):
+        xq = _ste_fq(x, grids[0])
+        if kind == "basic":
+            h = jnp.maximum(conv3x3(xq, soft_w(0, alphas, hard))
+                            + biases[0], 0.0)
+            h = _ste_fq(h, grids[1])
+            y = conv3x3(h, soft_w(1, alphas, hard)) + biases[1]
+        else:
+            w1 = soft_w(0, alphas, hard)          # (C, width) 1x1
+            h = jnp.maximum(jnp.einsum("nhwc,cd->nhwd", xq, w1)
+                            + biases[0], 0.0)
+            h = _ste_fq(h, grids[1])
+            h = jnp.maximum(conv3x3(h, soft_w(1, alphas, hard), groups)
+                            + biases[1], 0.0)
+            h = _ste_fq(h, grids[2])
+            w3 = soft_w(2, alphas, hard)          # (width, C) 1x1
+            y = jnp.einsum("nhwc,cd->nhwd", h, w3) + biases[2]
+        return jnp.maximum(y + xq, 0.0)
+
+    x = jnp.asarray(x, jnp.float32)
+    y_fp = jnp.asarray(y_fp, jnp.float32)
+    n = x.shape[0]
+    rows_eff = min(rows, n)
+    warm = int(iters * 0.2)
+    tx = optax.adam(lr)
+    rng = jax.random.PRNGKey(seed)
+
+    def loss_fn(alphas, beta, xb, yb):
+        y = sim(xb, alphas, hard=False)
+        recon = jnp.mean((y - yb) ** 2)
+        rl = sum(round_loss(a, beta) for a in alphas.values()) / len(alphas)
+        return recon + 0.01 * rl
+
+    @jax.jit
+    def optimize(alphas, x, y_fp):
+        state = tx.init(alphas)
+
+        def body(it, carry):
+            alphas, state = carry
+            t = jnp.clip((it - warm) / max(iters - warm, 1), 0.0, 1.0)
+            beta = 20.0 + (2.0 - 20.0) * t
+            if rows_eff < n:
+                idx = jax.random.randint(jax.random.fold_in(rng, it),
+                                         (rows_eff,), 0, n)
+                xb, yb = x[idx], y_fp[idx]
+            else:
+                xb, yb = x, y_fp
+            grads = jax.grad(loss_fn)(alphas, beta, xb, yb)
+            upd, state = tx.update(grads, state)
+            return optax.apply_updates(alphas, upd), state
+
+        alphas, _ = jax.lax.fori_loop(0, iters, body, (alphas, state))
+        return alphas
+
+    alphas = optimize(alphas0, x, y_fp)
+
+    @jax.jit
+    def recon_err(alphas, x, y_fp):
+        return jnp.mean((sim(x, alphas, hard=True) - y_fp) ** 2)
+
+    e_learned = float(recon_err(alphas, x, y_fp))
+    e_nearest = float(recon_err(
+        jax.tree.map(lambda a: a * 1e3, alphas0), x, y_fp))
+    if e_learned > e_nearest:
+        return None
+    codes = []
+    for i in range(len(weights)):
+        h = rect_sigmoid(alphas[str(i)])
+        codes.append(jnp.clip(floors[i] + (h >= 0.5), -127, 127)
+                     .astype(jnp.int8))
+    return codes
+
+
+def _pack_codes_like(codes_grouped, w_packed):
+    """Grouped int8 codes -> the kernel's packed layout (pure layout
+    transform; zeros pack to zero codes)."""
+    from quantv2x_tpu.quant.fused_engine import (grouped_to_blockdiag,
+                                                 grouped_to_superblocks)
+
+    if w_packed.ndim == 5:
+        kh, kw, cpg, out = codes_grouped.shape
+        return grouped_to_superblocks(
+            codes_grouped.astype(jnp.float32), out // cpg).astype(jnp.int8)
+    if w_packed.shape != codes_grouped.shape:
+        kh, kw, cpg, out = codes_grouped.shape
+        return grouped_to_blockdiag(
+            codes_grouped.astype(jnp.float32), out // cpg).astype(jnp.int8)
+    return codes_grouped
+
+
 def build_int8_fused_tables(model, variables, calib_batches, cfg=None,
-                            min_channels: int = 0):
+                            min_channels: int = 0, clip: str = "mse",
+                            adaround_iters: int = 0, verbose: bool = False):
     """{block_path: entry} for every fusable stride-1 block.
 
     entry = dict(kind, blk=(w1q, sb1, w2q, sb2[, w3q, sb3]),
                  g_in, g_h1, [g_h2], g_out) with g_* = (delta, ezp) f32
-    scalars of the stored-int8 grids."""
+    scalars of the stored-int8 grids.
+
+    ``clip``: per-boundary grid selection — "mse" (default) searches the
+    Lp-optimal clip on a calibration sample per boundary (the reference's
+    mse scale search / TRT-entropy role); "percentile" keeps the plain
+    quantile ranges. ``adaround_iters > 0`` additionally learns each
+    folded conv's rounding mask against the FP block output
+    (refine_block_rounding)."""
     cfg = cfg or ptq_mod.PTQConfig()
-    unit_ranges, block_ranges = observe_engine_ranges(
-        model, variables, calib_batches, cfg)
+    if clip in ("mse", "entropy"):
+        unit_ranges, block_ranges, unit_samples, block_samples = \
+            observe_engine_ranges(model, variables, calib_batches, cfg,
+                                  sample_size=65536)
+        search = _mse_clip if clip == "mse" else _entropy_clip
+
+        def _refine(ranges, samples):
+            return {
+                p: search(samples[p], lo, hi) if p in samples else (lo, hi)
+                for p, (lo, hi) in ranges.items()
+            }
+
+        unit_ranges = _refine(unit_ranges, unit_samples)
+        block_ranges = _refine(block_ranges, block_samples)
+    else:
+        unit_ranges, block_ranges = observe_engine_ranges(
+            model, variables, calib_batches, cfg)
     folded = build_fused_tables(variables, dtype=jnp.float32,
                                 min_channels=min_channels)
 
@@ -190,24 +501,53 @@ def build_int8_fused_tables(model, variables, calib_batches, cfg=None,
 
     kinds = {p: folded[p][0] for p in specs}
 
+    refined = {}
+    if adaround_iters:
+        grouped = build_fused_tables(variables, dtype=jnp.float32,
+                                     min_channels=min_channels,
+                                     pack_grouped=False)
+        io = capture_block_io(model, variables, calib_batches, set(specs))
+        for path_s, s in specs.items():
+            if path_s not in io:
+                continue
+            x, y_fp = io[path_s]
+            grids = [_grid(*r) for r in s["in_ranges"]]
+            codes = refine_block_rounding(
+                kinds[path_s], grouped[path_s][1:], grids,
+                _grid(*s["out_range"]), x, y_fp, iters=adaround_iters)
+            if codes is not None:
+                refined[path_s] = codes
+            if verbose:
+                print(f"[int8-engine] adaround {path_s}: "
+                      f"{'refined' if codes is not None else 'kept nearest'}")
+
     def build_all(specs):
         out = {}
         for path_s, s in specs.items():
             grids = [_grid(*r) for r in s["in_ranges"]]
             g_out = _grid(*s["out_range"])
             ws = s["ws"]
+            codes = refined.get(path_s)
             if kinds[path_s] == "basic":
                 w1, b1, w2, b2 = ws
-                w1q, sb1 = _conv_tables(w1, b1, grids[0])
-                w2q, sb2 = _conv_tables(w2, b2, grids[1])
+                w1q, sb1 = _conv_tables(
+                    w1, b1, grids[0], wq=codes[0] if codes else None)
+                w2q, sb2 = _conv_tables(
+                    w2, b2, grids[1], wq=codes[1] if codes else None)
                 out[path_s] = dict(
                     blk=(w1q, sb1, w2q, sb2), g_in=grids[0],
                     g_h1=grids[1], g_out=g_out)
             else:
                 w1, b1, w2, b2, w3, b3 = ws
-                w1q, sb1 = _conv_tables(w1, b1, grids[0])
-                w2q, sb2 = _conv_tables(w2, b2, grids[1])
-                w3q, sb3 = _conv_tables(w3, b3, grids[2])
+                cq = [None, None, None]
+                if codes:
+                    # grouped-layout codes -> the kernel's packed layouts
+                    cq = [codes[0].reshape(w1.shape),
+                          _pack_codes_like(codes[1], w2),
+                          codes[2].reshape(w3.shape)]
+                w1q, sb1 = _conv_tables(w1, b1, grids[0], wq=cq[0])
+                w2q, sb2 = _conv_tables(w2, b2, grids[1], wq=cq[1])
+                w3q, sb3 = _conv_tables(w3, b3, grids[2], wq=cq[2])
                 out[path_s] = dict(
                     blk=(w1q, sb1, w2q, sb2, w3q, sb3), g_in=grids[0],
                     g_h1=grids[1], g_h2=grids[2], g_out=g_out)
@@ -365,9 +705,13 @@ def make_int8_fused_apply(model, tables, h_tile: int = 16,
 
 def build_int8_fused_engine(model, variables, calib_batches, cfg=None,
                             h_tile: int = 16, interpret: bool = False,
-                            min_channels: int = 0):
+                            min_channels: int = 0, clip: str = "mse",
+                            adaround_iters: int = 0, verbose: bool = False):
     """One call: calibrate + fold + quantize -> (tables, int8_apply)."""
     tables = build_int8_fused_tables(model, variables, calib_batches,
-                                     cfg, min_channels=min_channels)
+                                     cfg, min_channels=min_channels,
+                                     clip=clip,
+                                     adaround_iters=adaround_iters,
+                                     verbose=verbose)
     return tables, make_int8_fused_apply(model, tables, h_tile=h_tile,
                                          interpret=interpret)

@@ -150,6 +150,14 @@ def main():
                     "of the stock apply (parity: the reference evaluates "
                     "its serialized TensorRT engines). int8_fused = the "
                     "headline int8 fused-block Pallas engine")
+    ap.add_argument("--engine_clip",
+                    choices=["mse", "entropy", "percentile"],
+                    default="mse",
+                    help="int8_fused boundary-grid selection (mse = "
+                         "per-boundary Lp clip search)")
+    ap.add_argument("--engine_adaround", type=int, default=0,
+                    help="int8_fused: learned-rounding iterations per "
+                         "fused block (0 = nearest rounding)")
     ap.add_argument("--objects", type=int, default=12,
                     help="synthetic eval scene objects (match training)")
     ap.add_argument("--points", type=int, default=20000,
@@ -236,8 +244,9 @@ def main():
         elif args.engine == "int8_fused":
             from quantv2x_tpu.quant.int8_fused_engine import \
                 build_int8_fused_engine
-            _, eng_apply = build_int8_fused_engine(model, variables, calib,
-                                                   h_tile=16)
+            _, eng_apply = build_int8_fused_engine(
+                model, variables, calib, h_tile=16,
+                clip=args.engine_clip, adaround_iters=args.engine_adaround)
         else:
             from quantv2x_tpu.quant.int8_engine import build_int8_engine
             _, eng_apply = build_int8_engine(model, variables, calib)
@@ -262,7 +271,7 @@ def main():
             rcfg = ReconCfg() if args.iters is None else ReconCfg(
                 iters=args.iters)
             qvars, act_scales, qapply = adaround_reconstruct(
-                model, variables, calib, cfg=qcfg, rcfg=rcfg
+                model, variables, calib, cfg=qcfg, rcfg=rcfg, verbose=True
             )
         summary, lat = run_eval(
             model, qvars, test, hypes,
