@@ -697,8 +697,9 @@ def make_int8_fused_apply(model, tables, h_tile: int = 16,
         with nn.intercept_methods(interceptor):
             if method is None:
                 return model.apply(variables, *args, train=False, **kwargs)
-            return model.apply(variables, *args, train=False,
-                               method=method, **kwargs)
+            # custom methods own their train default (a bare lambda would
+            # reject an injected train kwarg)
+            return model.apply(variables, *args, method=method, **kwargs)
 
     return fused_apply
 

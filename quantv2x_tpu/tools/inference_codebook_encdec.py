@@ -33,6 +33,15 @@ def main():
     ap.add_argument("--seg_num", type=int, default=2)
     ap.add_argument("--dict_size", type=int, default=256)
     ap.add_argument("--cache_dir", default=None)
+    ap.add_argument("--engine", choices=["none", "int8_fused"],
+                    default="none",
+                    help="run encode/decode through the int8 fused-block "
+                         "engine — the fully-quantized multi-agent "
+                         "pipeline (north-star config #4: INT8 encoder + "
+                         "codebook wire + INT8 fusion)")
+    ap.add_argument("--objects", type=int, default=12)
+    ap.add_argument("--points", type=int, default=20000)
+    ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     from quantv2x_tpu.config.hypes import load_hypes
@@ -61,7 +70,8 @@ def main():
         frame_to_batch(
             make_frame(SyntheticCfg(
                 lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
-                num_objects=12, points_per_agent=20000, seed=2000 + s)),
+                num_objects=args.objects, points_per_agent=args.points,
+                seed=2000 + s)),
             hypes.voxel, max_cav=args.max_cav)
         for s in range(args.synthetic)
     ]
@@ -78,6 +88,16 @@ def main():
 
     C = mcfg.backbone_filters[-1]
 
+    # optional int8 fused engine wrapping BOTH stages: INT8 encoder, the
+    # codebook wire between agents, INT8 fusion — north-star config #4
+    # (parity: the composition test tests/test_serving.py:110)
+    model_apply = model.apply
+    if args.engine == "int8_fused":
+        from quantv2x_tpu.quant.int8_fused_engine import \
+            build_int8_fused_engine
+        _, model_apply = build_int8_fused_engine(
+            model, variables, batches[: min(4, len(batches))], h_tile=16)
+
     @jax.jit
     def encode_stage(variables, batch):
         """Transmit side: agent features -> integer codes."""
@@ -86,8 +106,7 @@ def main():
             B, L, h, w, _ = feats.shape
             codes = mdl.compressor.codebook.encode(feats.reshape(-1, C))
             return codes.reshape(B, L, h, w, -1), (B, L, h, w)
-        return jax.tree_util.Partial(model.apply)(
-            variables, method=lambda mdl: fn(mdl))
+        return model_apply(variables, method=lambda mdl: fn(mdl))
 
     @jax.jit
     def decode_stage(variables, codes, batch):
@@ -101,7 +120,7 @@ def main():
             feats = feats.reshape(B, L, h, w, C).astype(mcfg.jnp_dtype)
             out = mdl.fuse_and_predict(feats, batch)
             return out
-        out = model.apply(variables, method=lambda mdl: fn(mdl))
+        out = model_apply(variables, method=lambda mdl: fn(mdl))
         det = decode_detections(
             out["cls_preds"][0], out["reg_preds"][0], anchors,
             hypes.postprocess, dir_preds=out["dir_preds"][0],
@@ -139,8 +158,13 @@ def main():
         "payload_kb_per_agent": round(payload_bytes / 1024, 1),
         "fp32_payload_kb": round(h * w * C * 4 / 1024, 1),
         "compression_x": round(C * 32 / bits_per_px, 1),
+        "engine": args.engine,
+        "max_cav": args.max_cav,
     }
     print(json.dumps(out, indent=2, default=float))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, default=float)
 
 
 if __name__ == "__main__":
