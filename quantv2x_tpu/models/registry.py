@@ -93,7 +93,12 @@ def create_model(hypes: Hypes, max_cav: Optional[int] = None):
             ego_model=PyramidCollabModel(mcfg, name="ego_model"),
             protocol_model=PyramidCollabModel(mcfg, name="protocol_model"),
             protocol_channels=ch, local_channels=ch,
-            stage=str(args.get("stamp_stage", "infer")), dtype=dt,
+            stage=str(args.get("stamp_stage", "infer")),
+            # reference-parity variant selection (adapter.py:811-856):
+            # hypes model args may carry adapter:/reverter: blocks with a
+            # core_method + args (see stamp.build_adapter)
+            adapter_spec=args.get("adapter"),
+            reverter_spec=args.get("reverter"), dtype=dt,
         ), "collab"
 
     if base == "second_intermediate":

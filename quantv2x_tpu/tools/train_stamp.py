@@ -66,9 +66,40 @@ def main():
     ego = PyramidCollabModel(model_cfg, name="ego_model")
     protocol = PyramidCollabModel(model_cfg, name="protocol_model")
     ch = model_cfg.backbone_filters[-1]
+
+    def variant_spec(block):
+        """hypes stamp.adapter/.reverter -> build_adapter spec. The short
+        form ``{core_method: convnext, depth: N}`` keeps the compact
+        bridge pair; a reference-parity core_method (adapterconv /
+        adapterfc / adapterconvnext / adapterdsa / adapteratt / identity,
+        adapter.py:811-856) selects a variant, with geometry defaulting
+        to this config's fused-feature space (encode_agents emits
+        (B, L, H/2, W/2, C) on the cav lidar range)."""
+        if not block:
+            return None
+        cm = str(block.get("core_method", "convnext"))
+        if cm == "convnext":
+            return None
+        H, W = model_cfg.bev_hw
+        a = dict(block.get("args", {}))
+        a.setdefault("in_channels", ch)
+        a.setdefault("out_channels", ch)
+        a.setdefault("in_cav_lidar_range", list(hypes.voxel.lidar_range))
+        a.setdefault("out_cav_lidar_range", list(hypes.voxel.lidar_range))
+        a.setdefault("in_feature_shape", [H // 2, W // 2])
+        a.setdefault("out_feature_shape", [H // 2, W // 2])
+        sub = {k: v for k, v in block.items()
+               if k not in ("core_method", "args")}
+        if sub:
+            a.setdefault("submodule_args", sub)
+        return {"core_method": cm, "args": a}
+
+    stamp_raw = hypes.raw.get("stamp", {})
     model = StampCollabModel(
         ego_model=ego, protocol_model=protocol,
         protocol_channels=ch, local_channels=ch, stage=args.stage,
+        adapter_spec=variant_spec(stamp_raw.get("adapter")),
+        reverter_spec=variant_spec(stamp_raw.get("reverter")),
     )
     w_output = args.stage == "train_adapter_w_output"
     adapter_cfg = AdapterLossCfg(*args.alpha)
