@@ -207,3 +207,34 @@ def _render_cameras(cfg: SyntheticCfg, agent_points, agent_points_mask):
         "camera_rots": rots,
         "camera_trans": trans,
     }
+
+
+def hypes_synth_extras(raw: dict):
+    """SyntheticCfg extras + per-frame modality assignment for a hypes
+    dict, so the synthetic trainer/eval drive heter camera configs the
+    same way the dataset path does.
+
+    Returns (extras, assign): ``extras`` are SyntheticCfg kwargs (camera
+    rig on when any modality is a camera; num_cams/final_dim from its
+    img_params, reference schema heter_encoders.py:83-123), ``assign``
+    stamps ``agent_modality`` round-robin over the config's modalities
+    (the dataset fallback policy, data/dataset.py round-robin) with
+    agent 0 on the first (ego) modality.
+    """
+    het = (raw or {}).get("heter") or {}
+    ms = het.get("modality_setting") or {}
+    extras = {}
+    for m in ms.values():
+        if m.get("sensor_type") == "camera":
+            ip = m.get("img_params") or {}
+            extras["num_cameras"] = int(ip.get("num_cams", 4))
+            extras["image_size"] = tuple(ip.get("final_dim", (64, 96)))
+    n_mod = max(len(ms), 1)
+
+    def assign(frame):
+        if len(ms) > 1:
+            L = frame["agent_mask"].shape[0]
+            frame["agent_modality"] = (np.arange(L) % n_mod).astype(np.int32)
+        return frame
+
+    return extras, assign

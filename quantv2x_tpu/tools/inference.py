@@ -182,12 +182,14 @@ def main():
             f"inference.py drives collab/single contracts; "
             f"{hypes.raw['model']['core_method']!r} is {contract!r}")
 
+    from quantv2x_tpu.data.synthetic import hypes_synth_extras
+    synth_extras, assign_modality = hypes_synth_extras(hypes.raw)
     frames = [
-        make_frame(SyntheticCfg(
+        assign_modality(make_frame(SyntheticCfg(
             lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
             num_objects=args.objects, points_per_agent=args.points,
-            seed=1000 + s,
-        ))
+            seed=1000 + s, **synth_extras,
+        )))
         for s in range(args.synthetic + args.calib)
     ]
     if contract == "collab":

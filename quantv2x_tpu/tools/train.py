@@ -114,13 +114,18 @@ def main():
     ds = None
     val_ds = None
     streaming = False
+    # heter configs: synthetic frames carry the camera rig + modality ids
+    # (reference: modality_assign JSON; here round-robin over modalities)
+    from quantv2x_tpu.data.synthetic import hypes_synth_extras
+    synth_extras, assign_modality = hypes_synth_extras(hypes.raw)
     if args.synthetic:
         print(f"[train] generating {args.synthetic} synthetic frames...")
         frames = [
-            make_frame(SyntheticCfg(
+            assign_modality(make_frame(SyntheticCfg(
                 lidar_range=hypes.voxel.lidar_range, num_agents=max_cav,
                 num_objects=12, points_per_agent=20000, seed=s,
-            ))
+                **synth_extras,
+            )))
             for s in range(args.synthetic)
         ]
         if args.augment:
@@ -251,11 +256,12 @@ def main():
             val_frames = [val_ds[i] for i in range(nval)]
         elif args.synthetic:
             val_frames = [
-                make_frame(SyntheticCfg(
+                assign_modality(make_frame(SyntheticCfg(
                     lidar_range=hypes.voxel.lidar_range,
                     num_agents=max_cav, num_objects=12,
                     points_per_agent=20000, seed=5000 + s,
-                ))
+                    **synth_extras,
+                )))
                 for s in range(min(args.val_frames, 16))
             ]
         else:
