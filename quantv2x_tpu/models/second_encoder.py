@@ -118,23 +118,28 @@ class SECONDEncoder(nn.Module):
             voxels["voxel_mask"], (nz, ny, nx),
         )                                           # (N, D, H, W, C)
         ch = cfg.channels
-        # conv_input + conv1 (full-res submanifold stage)
+        # stage schedule derives from the tuple length: stem + stage1 at
+        # full res, middle entries are z-strided stages, the LAST entry is
+        # the z/2+xy/2 stage down to the shared stride-2 BEV. The default
+        # 5-tuple is VoxelBackBone8x parity (16/16/32/64 + 64); shorter
+        # tuples give lighter trunks (CIA-SSD/FPV-RCNN test configs)
         x = ConvBNReLU3D(ch[0], dtype=self.dtype, name="stem")(x, train)
-        x = ConvBNReLU3D(ch[1], dtype=self.dtype, name="stage1_conv0")(
-            x, train)
-        # conv2/conv3: z-strided stages, 1 strided + blocks_per_stage convs
-        for i, c in enumerate(ch[2:4], start=2):
+        x = ConvBNReLU3D(ch[min(1, len(ch) - 1)], dtype=self.dtype,
+                         name="stage1_conv0")(x, train)
+        # middle z-strided stages, 1 strided + blocks_per_stage convs each
+        for i, c in enumerate(ch[2:-1], start=2):
             x = ConvBNReLU3D(c, strides=(2, 1, 1), dtype=self.dtype,
                              name=f"stage{i}_down")(x, train)
             for k in range(cfg.blocks_per_stage):
                 x = ConvBNReLU3D(c, dtype=self.dtype,
                                  name=f"stage{i}_conv{k}")(x, train)
-        # conv4: final z/2 + the single xy/2 to the shared stride-2 BEV
-        x = ConvBNReLU3D(ch[4], strides=(2, 2, 2), dtype=self.dtype,
-                         name="stage4_down")(x, train)
+        # final stage: z/2 + the single xy/2 to the shared stride-2 BEV
+        last = len(ch) - 1
+        x = ConvBNReLU3D(ch[-1], strides=(2, 2, 2), dtype=self.dtype,
+                         name=f"stage{max(last, 2)}_down")(x, train)
         for k in range(cfg.blocks_per_stage):
-            x = ConvBNReLU3D(ch[4], dtype=self.dtype,
-                             name=f"stage4_conv{k}")(x, train)
+            x = ConvBNReLU3D(ch[-1], dtype=self.dtype,
+                             name=f"stage{max(last, 2)}_conv{k}")(x, train)
         # conv_out (z-collapse widening) + HeightCompression: fold the
         # remaining depth into channels, project to the shared width
         x = ConvBNReLU3D(cfg.conv_out_channels, kernel=3,
