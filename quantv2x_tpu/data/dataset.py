@@ -481,6 +481,11 @@ class V2XDataset:
             "gt_boxes": gt_boxes,
             "gt_classes": gt_classes,
             "gt_mask": gt_mask,
+            # kept-cav ids IN AGENT-SLOT ORDER (post comm-range filter,
+            # post reinitialize shuffle) — consumers labeling per-agent
+            # artifacts (the stage-1 box-align cache) must use these, not
+            # the raw scenario order
+            "cav_ids": [str(cav_ids[j]) for j in keep][: self.max_cav],
         }
         if self.modality_fn is not None:
             mods = np.zeros((self.max_cav,), np.int32)

@@ -16,7 +16,11 @@ from quantv2x_tpu.data.voxelizer import VoxelCfg, voxelize
 from quantv2x_tpu.utils.transformation import pairwise_transformation
 
 
-@functools.partial(jax.jit, static_argnames=("voxel_cfg", "max_cav"))
+# non-array frame metadata the jitted assembly must never see (the
+# dataset attaches e.g. kept-cav id strings for cache labeling)
+_META_KEYS = ("cav_ids",)
+
+
 def frame_to_batch(frame, voxel_cfg: VoxelCfg, max_cav: int = 4):
     """One multi-agent frame (synthetic.make_frame contract) -> batch of 1.
 
@@ -26,6 +30,13 @@ def frame_to_batch(frame, voxel_cfg: VoxelCfg, max_cav: int = 4):
       agent_mask (1,L), pairwise_t_matrix (1,L,L,4,4),
       gt_boxes/gt_classes/gt_mask passthrough with batch axis.
     """
+    if any(k in frame for k in _META_KEYS):
+        frame = {k: v for k, v in frame.items() if k not in _META_KEYS}
+    return _frame_to_batch(frame, voxel_cfg, max_cav)
+
+
+@functools.partial(jax.jit, static_argnames=("voxel_cfg", "max_cav"))
+def _frame_to_batch(frame, voxel_cfg: VoxelCfg, max_cav: int = 4):
     pts = jnp.asarray(frame["agent_points"])        # (A, P, 4)
     pmask = jnp.asarray(frame["agent_points_mask"])  # (A, P)
     A = pts.shape[0]

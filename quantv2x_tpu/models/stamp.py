@@ -483,12 +483,15 @@ class AdapterDSAV(nn.Module):
         out_pos = position_embedding_sine_2d(
             oH, oW, geom.out_channels, dtype=x.dtype).reshape(
             1, oH * oW, geom.out_channels)
-        rr = geom.range_ratio
+        # the query grid is conv(resize(x)) — it covers the INPUT world
+        # range (just at the protocol meters/pixel), so query-normalized
+        # coordinates map 1:1 onto the value map; the range alignment is
+        # _geom_pad's job after attention (scaling refs by range_ratio
+        # here would double-apply the conversion)
         for i in range(self.n_layers):
             out = out + out_scale * out_pos
             out = DeformableSpatialAttentionLayer(
                 geom.out_channels, self.num_heads, self.num_points,
-                scale_ratio=(rr[1], rr[0]),   # (y, x) ref-point scale
                 dropout=self.dropout, dtype=self.dtype,
                 name=f"layer{i}")(out, value, (oH, oW),
                                   deterministic=deterministic)

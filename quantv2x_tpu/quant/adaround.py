@@ -165,16 +165,12 @@ class _StopCapture(Exception):
     quant/data_utils.py StopForwardException:94-120)."""
 
 
-def _first_init():
-    """Sow init for keep-first-call capture. flax's default ``init_fn``
-    returns ``()``; a plain ``reduce_fn=lambda a, b: a`` would then keep the
-    empty tuple forever (the round-2 sequential-capture bug). ``None`` marks
-    "nothing captured yet"."""
-    return None
-
-
-def _first_reduce(acc, value):
-    return value if acc is None else acc
+# Keep-first sow pattern: canonical helpers in quant/ptq.py (flax's
+# default init_fn returns (), so a plain `reduce_fn=lambda a, b: a` keeps
+# the empty tuple forever — the round-2 sequential-capture bug; every
+# keep-first sow must use this pair)
+from quantv2x_tpu.quant.ptq import first_sow_init as _first_init
+from quantv2x_tpu.quant.ptq import first_sow_reduce as _first_reduce
 
 
 def capture_fp_outputs(model, variables, batches, cfg: ptq_mod.PTQConfig):

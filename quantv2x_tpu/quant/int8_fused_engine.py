@@ -74,8 +74,8 @@ def observe_engine_ranges(model, variables, batches, cfg=None,
         flat = x.astype(jnp.float32).ravel()
         stride = max(1, flat.shape[0] // sample_size)
         module.sow(f"{col}_s", "sample", flat[::stride][:sample_size],
-                   init_fn=lambda: None,
-                   reduce_fn=lambda a, b: b if a is None else a)
+                   init_fn=ptq_mod.first_sow_init,
+                   reduce_fn=ptq_mod.first_sow_reduce)
 
     def interceptor(next_fn, args, kwargs, context):
         module = context.module
@@ -194,14 +194,15 @@ def _grid(lo, hi):
 
 
 def _wquant(w):
-    """Per-output-channel symmetric int8.
+    """Per-output-channel symmetric int8 on the ``_wscales`` grid (one
+    definition of the grid — AdaRound-refined codes are learned on the
+    same deltas and dequantized via ``_wscales``, so the two paths must
+    stay bit-identical).
 
     Dense (..., cout): out channels = last axis. Supergrouped bottleneck
     w2 (3, 3, S, 128, 128): out channel c = s * 128 + lane, so the
     reduction keeps both the supergroup and the lane axis."""
-    axes = (0, 1, 3) if w.ndim == 5 else tuple(range(w.ndim - 1))
-    amax = jnp.abs(w).max(axis=axes, keepdims=True)
-    dw = jnp.maximum(amax / 127.0, 1e-12)
+    dw = _wscales(w)
     wq = jnp.clip(jnp.round(w / dw), -127, 127).astype(jnp.int8)
     return wq, dw.reshape(-1)
 
@@ -270,12 +271,12 @@ def capture_block_io(model, variables, calib_batches, block_paths):
                 and path_s in targets
                 and isinstance(args[0], jax.Array)):
             module.sow("blk_io", "inp", args[0],
-                       init_fn=lambda: None,
-                       reduce_fn=lambda a, b: b if a is None else a)
+                       init_fn=ptq_mod.first_sow_init,
+                       reduce_fn=ptq_mod.first_sow_reduce)
             out = next_fn(*args, **kwargs)
             module.sow("blk_io", "out", out,
-                       init_fn=lambda: None,
-                       reduce_fn=lambda a, b: b if a is None else a)
+                       init_fn=ptq_mod.first_sow_init,
+                       reduce_fn=ptq_mod.first_sow_reduce)
             return out
         return next_fn(*args, **kwargs)
 
@@ -292,9 +293,12 @@ def capture_block_io(model, variables, calib_batches, block_paths):
         for k, v in tree.items():
             if k == key:
                 # f16 on host: flagship stage-1 block IO is ~1 GB/block
-                # in f32 across 16 calib batches
-                arr = np.asarray(v[0] if isinstance(v, tuple) else v,
-                                 np.float16)
+                # in f32 across 16 calib batches. Clip to the f16 range
+                # first — an inf from overflow would NaN the recon errors
+                # and defeat the learned-vs-nearest safety comparison
+                raw = np.asarray(v[0] if isinstance(v, tuple) else v,
+                                 np.float32)
+                arr = np.clip(raw, -65504.0, 65504.0).astype(np.float16)
                 dst.setdefault(ptq_mod._path_str(prefix), []).append(arr)
             elif isinstance(v, dict):
                 flatten(v, key, dst, prefix + (k,))
@@ -376,7 +380,10 @@ def refine_block_rounding(kind, ws, grids, g_out, x, y_fp, iters: int = 600,
             h = _ste_fq(h, grids[2])
             w3 = soft_w(2, alphas, hard)          # (width, C) 1x1
             y = jnp.einsum("nhwc,cd->nhwd", h, w3) + biases[2]
-        return jnp.maximum(y + xq, 0.0)
+        # the deployed block emits int8 codes on the boundary grid — fake
+        # -quantize the output so the learned rounding optimizes what the
+        # engine actually produces
+        return _ste_fq(jnp.maximum(y + xq, 0.0), g_out)
 
     x = jnp.asarray(x, jnp.float32)
     y_fp = jnp.asarray(y_fp, jnp.float32)
@@ -420,9 +427,12 @@ def refine_block_rounding(kind, ws, grids, g_out, x, y_fp, iters: int = 600,
         return jnp.mean((sim(x, alphas, hard=True) - y_fp) ** 2)
 
     e_learned = float(recon_err(alphas, x, y_fp))
-    e_nearest = float(recon_err(
-        jax.tree.map(lambda a: a * 1e3, alphas0), x, y_fp))
-    if e_learned > e_nearest:
+    # hard mode thresholds h(alpha) >= 0.5, which for init alphas is
+    # exactly nearest rounding (h(alpha_init) = frac) — no scaling needed
+    e_nearest = float(recon_err(alphas0, x, y_fp))
+    # `not <=` (instead of `>`) so a NaN recon error fails CLOSED to
+    # nearest rounding rather than baking diverged codes into the engine
+    if not (e_learned <= e_nearest):
         return None
     codes = []
     for i in range(len(weights)):

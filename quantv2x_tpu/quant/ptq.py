@@ -421,3 +421,15 @@ def ptq_calibrate(model, variables, calib_batches, cfg: PTQConfig = None,
     if return_w_scales:
         return qvariables, act_scales, qapply, w_scales
     return qvariables, act_scales, qapply
+
+
+def first_sow_init():
+    """Sow init for keep-first-call capture. flax's default ``init_fn``
+    returns ``()``; a plain ``reduce_fn=lambda a, b: a`` would then keep
+    the empty tuple forever (the round-2 sequential-capture bug). ``None``
+    marks "nothing captured yet"; pair with ``first_sow_reduce``."""
+    return None
+
+
+def first_sow_reduce(acc, value):
+    return value if acc is None else acc

@@ -104,19 +104,21 @@ def precalc_dataset_cache(root: str, stage1_dir: str, max_cav: int,
 
     ds = V2XDataset(root, dataset_mode=dataset_mode, max_cav=max_cav)
     n = 0
-    for si, scen in enumerate(ds.scenarios):
-        cav_ids = list(scen["cavs"].keys())
-        for ti, ts in enumerate(scen["timestamps"]):
-            idx = ds.index.index((si, ti))
-            frame = ds[idx]
-            world = gt_world_centers(frame["gt_boxes"],
-                                     frame["agent_poses"][0])
-            centers, mask = simulate_stage1_from_gt(
-                world, frame["gt_mask"], frame["agent_poses"],
-                frame["agent_mask"], max_boxes)
-            save_stage1_cache(stage1_dir, scen["name"], ts,
-                              cav_ids[: centers.shape[0]], centers, mask)
-            n += 1
+    for idx, (si, ti) in enumerate(ds.index):
+        scen = ds.scenarios[si]
+        ts = scen["timestamps"][ti]
+        frame = ds[idx]
+        world = gt_world_centers(frame["gt_boxes"],
+                                 frame["agent_poses"][0])
+        centers, mask = simulate_stage1_from_gt(
+            world, frame["gt_mask"], frame["agent_poses"],
+            frame["agent_mask"], max_boxes)
+        # label rows with the frame's OWN kept-cav order: the dataset's
+        # comm-range filter (and per-epoch reshuffle) reorders agents, so
+        # the raw scenario cav list would misattribute detections
+        save_stage1_cache(stage1_dir, scen["name"], ts,
+                          frame["cav_ids"], centers, mask)
+        n += 1
     return n
 
 

@@ -42,11 +42,12 @@ def mask_gt_range(gt_corners, gt_valid, gt_range):
     (opencood/data_utils/post_processor/base_postprocessor_multi_class.py:
     97-143, GT_RANGE at :129-139 via mask_boxes_outside_range_numpy). On
     real data GT is the union of ALL cavs' objects — far beyond ego range —
-    so skipping this systematically depresses every AP number."""
-    c = np.asarray(gt_corners).mean(axis=-2)
-    lo = np.asarray(gt_range[:2])
-    hi = np.asarray(gt_range[3:5])
-    inside = np.all((c[..., :2] > lo) & (c[..., :2] < hi), axis=-1)
+    so skipping this systematically depresses every AP number. The range
+    rule is box_utils.mask_boxes_range — the same test the det side uses,
+    so GT and det masking can never drift apart."""
+    from quantv2x_tpu.utils import box_utils as bu
+    inside = np.asarray(bu.mask_boxes_range(np.asarray(gt_corners),
+                                            gt_range))
     return np.asarray(gt_valid, bool) & inside
 
 
