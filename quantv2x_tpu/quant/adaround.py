@@ -237,19 +237,26 @@ def _flatten_caps(tree, leaf_key, prefix=()):
     return out
 
 
-def capture_unit_inputs(model, qvariables, act_scales, batches,
-                        cfg: ptq_mod.PTQConfig, target: str):
-    """Capture ONE unit's inputs from the quantized-so-far model, applying
-    the activation fake-quant of every predecessor unit (reference
-    GetLayerInpOut semantics).
+def make_sequential_capturer(model, cfg: ptq_mod.PTQConfig):
+    """ONE jitted capture program for unit-sequential reconstruction.
 
-    Jitted sow-based capture, one dispatch per batch — the reference's
-    eager StopForward early exit saved Python time on GPU, but eager
-    interception costs one tunnel round trip PER OP here. Static (non
-    -array) extra args are recorded at trace time; array extras are sown
-    alongside the input."""
-    static_extras: List = [None]
-    seen = [False]
+    Sows EVERY unit's first-call input (+ array extra args) and applies
+    each unit's activation fake-quant downstream, with ``qvariables`` and
+    ``act_scales`` as jit ARGUMENTS — so refining a unit's weights or act
+    step never recompiles: the reference's per-block StopForward recapture
+    (quant/data_utils.py:94-137) becomes the same compiled forward
+    re-executed with updated params. (The previous per-target design
+    traced a fresh full-model program per unit: at the flagship grid
+    that's minutes of XLA compile x #units over the remote-TPU tunnel,
+    which is exactly why the flagship AdaRound number never landed.)
+
+    Returns (run_j, static_extras): ``run_j(qvariables, act_scales,
+    batch) -> cap_in tree``; ``static_extras`` is filled at trace time
+    with {unit_path: tuple(static-or-None per extra arg)}. Only the
+    target unit's leaves should be fetched per call — the rest stay on
+    device and are dropped (no transfer)."""
+    static_extras: Dict[str, tuple] = {}
+    scales_ref: Dict[str, tuple] = {}
 
     def interceptor(next_fn, args, kwargs, context):
         module = context.module
@@ -259,10 +266,14 @@ def capture_unit_inputs(model, qvariables, act_scales, batches,
             and ptq_mod._is_unit(module, path_s)
             and not ptq_mod._in_scope(path_s, cfg.skip_scopes)
         )
-        if is_unit and path_s == target and not seen[0]:
-            seen[0] = True        # first call per forward only
-            static_extras[0] = tuple(
-                None if isinstance(a, jax.Array) else a for a in args[1:])
+        if is_unit:
+            if path_s not in static_extras:
+                static_extras[path_s] = tuple(
+                    None if isinstance(a, jax.Array) else a
+                    for a in args[1:])
+            # keep-first sow: units invoked several times per forward
+            # (per-agent encoders) record their first call, aligned with
+            # capture_fp_outputs
             module.sow("cap_in", "inp", args[0],
                        init_fn=_first_init, reduce_fn=_first_reduce)
             for i, a in enumerate(args[1:]):
@@ -270,31 +281,57 @@ def capture_unit_inputs(model, qvariables, act_scales, batches,
                     module.sow("cap_in", f"extra{i}", a,
                                init_fn=_first_init, reduce_fn=_first_reduce)
         out = next_fn(*args, **kwargs)
-        if is_unit and path_s in act_scales:
-            delta, zp = act_scales[path_s]
+        if is_unit and path_s in scales_ref:
+            delta, zp = scales_ref[path_s]
             out = cfg.act_spec.apply(out, delta, zp).astype(out.dtype)
         return out
 
-    def run(batch):
-        seen[0] = False
+    def run(qvariables, act_scales, batch):
+        # populated at trace time; traced scale values flow into the graph,
+        # later calls reuse the compiled program with fresh argument values
+        scales_ref.clear()
+        scales_ref.update(act_scales)
         with nn.intercept_methods(interceptor):
             _, mut = model.apply(qvariables, batch, train=False,
                                  mutable=["cap_in"])
         return mut["cap_in"]
 
-    run_j = jax.jit(run)
+    return jax.jit(run), static_extras
+
+
+def _unit_caps(caps, rel: Sequence[str]):
+    """Navigate the cap_in tree to one unit's sub-dict (device arrays)."""
+    sub = caps
+    for p in rel:
+        sub = sub.get(p)
+        if sub is None:
+            return None
+    return sub
+
+
+def _sow_leaf(v):
+    return v[0] if isinstance(v, tuple) else v
+
+
+def capture_unit_inputs(run_cap, static_extras, qvariables, act_scales,
+                        batches, target: str):
+    """Fetch ONE unit's inputs from the quantized-so-far model via the
+    shared capture program (reference GetLayerInpOut semantics: weight +
+    activation fake-quant of every predecessor applied). Only the target
+    unit's arrays cross the device boundary."""
+    rel = target.split("/")
     inputs: List[np.ndarray] = []
     extra_args: List[tuple] = []
     for batch in batches:
-        caps = jax.device_get(run_j(batch))
-        inp = _flatten_caps(caps, "inp").get(target)
-        if inp is None:
+        caps = run_cap(qvariables, act_scales, batch)
+        sub = _unit_caps(caps, rel)
+        if sub is None or "inp" not in sub:
             continue
-        inputs.append(inp)
-        extras = list(static_extras[0] or ())
+        inputs.append(jax.device_get(_sow_leaf(sub["inp"])))
+        extras = list(static_extras.get(target, ()))
         for i in range(len(extras)):
             if extras[i] is None:
-                extras[i] = _flatten_caps(caps, f"extra{i}")[target]
+                extras[i] = jax.device_get(_sow_leaf(sub[f"extra{i}"]))
         extra_args.append(tuple(extras))
     return inputs, extra_args
 
@@ -365,14 +402,32 @@ def make_pred_loss(head_params, rcfg: "ReconCfg"):
     return pred_loss
 
 
+#: compiled (optimize, recon_err) programs keyed by unit config + shapes.
+#: Flagship models repeat the same unit geometry dozens of times (every
+#: layerN_blockM conv1 shares one shape class); tracing the reconstruction
+#: loop per INSTANCE paid ~40-80 s of XLA compile per unit — per shape
+#: CLASS it's ~6x fewer compiles. All per-unit arrays (calib tensors, FP
+#: params, weight scales, head params, rng) travel as jit arguments.
+_PROG_CACHE: Dict[tuple, tuple] = {}
+
+
+def _tree_key(tree):
+    return tuple(
+        (jax.tree_util.keystr(path), tuple(getattr(leaf, "shape", ())),
+         str(getattr(leaf, "dtype", type(leaf).__name__)))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+    )
+
+
 def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
                      act_scale, inputs, fp_outputs, extra_args,
                      spec_w: QuantSpec, spec_a: QuantSpec, rcfg: ReconCfg,
-                     rng, pred_loss=None):
+                     rng, head_params=None):
     """Optimize rounding masks (+ act step) for one unit.
 
     fp_params: unit's FP param subtree. w_scales_local: {rel_path: (d, zp)}.
-    pred_loss: optional fn(y_q, y_fp) adding prediction-level terms.
+    head_params: optional {"cls_head": (kernel, bias), ...} — enables the
+    prediction-level loss terms (make_pred_loss) for pre-head units.
     Returns (hard-rounded quantized unit params, learned act (delta, zp)).
     """
     flat_params = jax.tree_util.tree_flatten_with_path(fp_params)[0]
@@ -389,6 +444,7 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
         for p, w in kernel_items
         if p in w_scales_local
     }
+    w_scales_local = {p: w_scales_local[p] for p in alphas}
     act_delta = act_scale[0] if act_scale is not None else None
     act_zp = act_scale[1] if act_scale is not None else None
 
@@ -432,67 +488,19 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
     )
 
     # split extra args: arrays travel as jit arguments (big calibration
-    # tensors must not bake into the HLO), non-array flags stay static
+    # tensors must not bake into the HLO, and at flagship shapes the
+    # remote-compile tunnel rejects baked-constant programs — HTTP 413),
+    # non-array flags stay static
     extra_static = tuple(None if isinstance(a, jax.Array) else a
                          for a in extra_args)
     extra_arrays = tuple(a for a in extra_args if isinstance(a, jax.Array))
 
-    def unit_apply(params_q, x_in, extra=None, bs=None):
-        vars_in = {"params": params_q}
-        bs = batch_stats if bs is None else bs
-        if bs:
-            vars_in["batch_stats"] = bs
-        arrs = iter(extra_arrays if extra is None else extra)
-        full = tuple(next(arrs) if s is None else s for s in extra_static)
-        return unit.apply(vars_in, x_in, *full)
-
-    def quantize_params(fp_params, alphas, hard):
-        def visit(path, leaf):
-            p = "/".join(k.key for k in path)
-            if p in alphas:
-                d, zp = w_scales_local[p]
-                return adaround_weight(
-                    leaf.astype(jnp.float32), d, zp, spec_w.n_bits,
-                    alphas[p], hard).astype(leaf.dtype)
-            return leaf
-        return jax.tree_util.tree_map_with_path(visit, fp_params)
-
-    def loss_fn(opt_vars, beta, data):
-        alphas_v = opt_vars["alphas"]
-        q_params = quantize_params(data["fp_params"], alphas_v, hard=False)
-        y = unit_apply(q_params, data["x"], extra=data["extra"],
-                       bs=data["bs"])
-        if act_delta is not None:
-            d = jnp.maximum(opt_vars["act_delta"], 1e-8)
-            y = spec_a.apply(y, d, act_zp)
-        # f32 loss arithmetic regardless of model dtype (bf16 models would
-        # otherwise leak bf16 into the fori_loop carry and the Adam state)
-        recon = jnp.mean(jnp.abs(y.astype(jnp.float32)
-                                 - data["y_fp"].astype(jnp.float32)) ** 2)
-        rl = sum(round_loss(a, beta) for a in alphas_v.values()) / max(len(alphas_v), 1)
-        total = recon + rcfg.round_weight * rl.astype(jnp.float32)
-        if pred_loss is not None:
-            total = total + pred_loss(y, data["y_fp"]).astype(jnp.float32)
-        return total, recon
-
     opt_vars = {"alphas": alphas}
     if act_delta is not None:
         opt_vars["act_delta"] = act_delta
-    label_fn = lambda tree: {k: k for k in tree}
-    tx = optax.multi_transform(
-        {"alphas": optax.adam(rcfg.alpha_lr),
-         "act_delta": optax.adam(rcfg.act_lr)},
-        param_labels=label_fn,
-    )
-    opt_state = tx.init(opt_vars)
-
-    warm = int(rcfg.iters * rcfg.warmup)
-    # the calibration tensors/unit params travel as ARGUMENTS, not jit
-    # closure constants: baked-in constants ship inside the HLO, and at
-    # flagship shapes (hundreds of MB of captured activations) the
-    # remote-compile tunnel rejects the request (HTTP 413)
     data = {"x": x, "y_fp": y_fp, "fp_params": fp_params,
-            "extra": extra_arrays, "bs": batch_stats}
+            "extra": extra_arrays, "bs": batch_stats, "w": w_scales_local,
+            "act_zp": act_zp, "heads": head_params, "rng": rng}
 
     # per-iter minibatch rows (parity: block_recon draws a random calib
     # minibatch each step). auto targets ~16M input elements per step.
@@ -501,12 +509,115 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
         16_000_000 // max(int(np.prod(x.shape[1:])), 1), 8, n_rows))
     rows = min(rows, n_rows)
 
+    key = (repr(unit), extra_static, act_delta is not None,
+           head_params is not None, repr(rcfg), repr(spec_w), repr(spec_a),
+           rows, n_rows, _tree_key(data), _tree_key(opt_vars))
+    reconstruct_unit.last_cache_hit = key in _PROG_CACHE
+    if key in _PROG_CACHE:
+        optimize, recon_err, tx = _PROG_CACHE[key]
+    else:
+        optimize, recon_err, tx = _build_unit_programs(
+            unit, extra_static, spec_w, spec_a, rcfg, rows, n_rows)
+        _PROG_CACHE[key] = (optimize, recon_err, tx)
+
+    opt_state = tx.init(opt_vars)
+    opt_vars, opt_state, recon = optimize(opt_vars, opt_state, data)
+
+    new_act = (
+        (jnp.maximum(opt_vars["act_delta"], 1e-8), act_zp)
+        if act_delta is not None else None
+    )
+    old_act = (act_delta, act_zp) if act_delta is not None else None
+    q_learned = _quantize_unit_params(
+        fp_params, w_scales_local, opt_vars["alphas"], spec_w.n_bits, True)
+    q_nearest = _quantize_unit_params(
+        fp_params, w_scales_local,
+        jax.tree.map(lambda a: a * 1e3, alphas), spec_w.n_bits, True,
+    )  # saturated init-alphas == nearest rounding
+    # safety: hard-thresholded learned rounding is only kept if it actually
+    # reconstructs better than nearest rounding on the calibration samples
+    # (with few iters the relaxation may not have binarized, making the hard
+    # threshold arbitrary — the reference relies on 5000-iter anneals)
+    e_learned = float(recon_err(q_learned, new_act, data))
+    e_nearest = float(recon_err(q_nearest, old_act, data))
+    if e_learned <= e_nearest:
+        return q_learned, new_act, e_learned
+    return q_nearest, old_act, e_nearest
+
+
+def _quantize_unit_params(fp_params, w_scales, alphas, n_bits, hard):
+    def visit(path, leaf):
+        p = "/".join(k.key for k in path)
+        if p in alphas:
+            d, zp = w_scales[p]
+            return adaround_weight(
+                leaf.astype(jnp.float32), d, zp, n_bits,
+                alphas[p], hard).astype(leaf.dtype)
+        return leaf
+    return jax.tree_util.tree_map_with_path(visit, fp_params)
+
+
+def _build_unit_programs(unit, extra_static, spec_w: QuantSpec,
+                         spec_a: QuantSpec, rcfg: ReconCfg,
+                         rows: int, n_rows: int):
+    """Compile the per-unit (optimize, recon_err) pair. Everything
+    tensor-valued reaches the program through the ``data`` argument so one
+    compilation serves every unit instance with this shape signature."""
+    tx = optax.multi_transform(
+        {"alphas": optax.adam(rcfg.alpha_lr),
+         "act_delta": optax.adam(rcfg.act_lr)},
+        param_labels=lambda tree: {k: k for k in tree},
+    )
+
+    def unit_apply(params_q, data):
+        vars_in = {"params": params_q}
+        if data["bs"]:
+            vars_in["batch_stats"] = data["bs"]
+        arrs = iter(data["extra"])
+        full = tuple(next(arrs) if s is None else s for s in extra_static)
+        return unit.apply(vars_in, data["x"], *full)
+
+    def forward(q_params, act, data):
+        y = unit_apply(q_params, data)
+        if act is not None:
+            y = spec_a.apply(y, jnp.maximum(act[0], 1e-8), act[1])
+        return y
+
+    def err_terms(y, data):
+        # f32 loss arithmetic regardless of model dtype (bf16 models would
+        # otherwise leak bf16 into the fori_loop carry and the Adam state)
+        err = jnp.mean(jnp.abs(y.astype(jnp.float32)
+                               - data["y_fp"].astype(jnp.float32)) ** 2)
+        if data["heads"] is not None:
+            err = err + make_pred_loss(data["heads"], rcfg)(
+                y, data["y_fp"]).astype(jnp.float32)
+        return err
+
+    def loss_fn(opt_vars, beta, data):
+        alphas_v = opt_vars["alphas"]
+        q_params = _quantize_unit_params(
+            data["fp_params"], data["w"], alphas_v, spec_w.n_bits, False)
+        act = ((opt_vars["act_delta"], data["act_zp"])
+               if "act_delta" in opt_vars else None)
+        y = forward(q_params, act, data)
+        recon = jnp.mean(jnp.abs(y.astype(jnp.float32)
+                                 - data["y_fp"].astype(jnp.float32)) ** 2)
+        rl = sum(round_loss(a, beta)
+                 for a in alphas_v.values()) / max(len(alphas_v), 1)
+        total = recon + rcfg.round_weight * rl.astype(jnp.float32)
+        if data["heads"] is not None:
+            total = total + make_pred_loss(data["heads"], rcfg)(
+                y, data["y_fp"]).astype(jnp.float32)
+        return total, recon
+
     def _gather_rows(data, idx):
         sel = lambda a: a[idx] if (
             isinstance(a, jax.Array) and a.ndim >= 1
             and a.shape[0] == n_rows) else a
         return dict(data, x=data["x"][idx], y_fp=data["y_fp"][idx],
                     extra=tuple(sel(a) for a in data["extra"]))
+
+    warm = int(rcfg.iters * rcfg.warmup)
 
     @jax.jit
     def optimize(opt_vars, opt_state, data):
@@ -518,7 +629,7 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             beta = rcfg.b_start + (rcfg.b_end - rcfg.b_start) * t
             if rows < n_rows:
                 idx = jax.random.randint(
-                    jax.random.fold_in(rng, it), (rows,), 0, n_rows)
+                    jax.random.fold_in(data["rng"], it), (rows,), 0, n_rows)
                 data_it = _gather_rows(data, idx)
             else:
                 data_it = data
@@ -532,38 +643,11 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
             (opt_vars, opt_state, jnp.float32(0.0)),
         )
 
-    opt_vars, opt_state, recon = optimize(opt_vars, opt_state, data)
-
-    # safety: hard-thresholded learned rounding is only kept if it actually
-    # reconstructs better than nearest rounding on the calibration samples
-    # (with few iters the relaxation may not have binarized, making the hard
-    # threshold arbitrary — the reference relies on 5000-iter anneals)
     @jax.jit
     def recon_err(q_params, act, data):
-        y = unit_apply(q_params, data["x"], extra=data["extra"],
-                       bs=data["bs"])
-        if act is not None:
-            y = spec_a.apply(y, jnp.maximum(act[0], 1e-8), act[1])
-        err = jnp.mean(jnp.abs(y.astype(jnp.float32)
-                               - data["y_fp"].astype(jnp.float32)) ** 2)
-        if pred_loss is not None:
-            err = err + pred_loss(y, data["y_fp"]).astype(jnp.float32)
-        return err
+        return err_terms(forward(q_params, act, data), data)
 
-    new_act = (
-        (jnp.maximum(opt_vars["act_delta"], 1e-8), act_zp)
-        if act_delta is not None else None
-    )
-    old_act = (act_delta, act_zp) if act_delta is not None else None
-    q_learned = quantize_params(fp_params, opt_vars["alphas"], hard=True)
-    q_nearest = quantize_params(
-        fp_params, jax.tree.map(lambda a: a * 1e3, alphas), hard=True
-    )  # saturated init-alphas == nearest rounding
-    e_learned = float(recon_err(q_learned, new_act, data))
-    e_nearest = float(recon_err(q_nearest, old_act, data))
-    if e_learned <= e_nearest:
-        return q_learned, new_act, e_learned
-    return q_nearest, old_act, e_nearest
+    return optimize, recon_err, tx
 
 
 def adaround_reconstruct(model, variables, calib_batches,
@@ -573,16 +657,26 @@ def adaround_reconstruct(model, variables, calib_batches,
 
     Returns (qvariables, act_scales, qapply).
     """
+    import time as _time
     cfg = cfg or ptq_mod.PTQConfig()
     rcfg = rcfg or ReconCfg()
+    _t0 = _time.time()
     qvars, act_scales, qapply, w_scales = ptq_mod.ptq_calibrate(
         model, variables, calib_batches, cfg, return_w_scales=True
     )
+    if verbose:
+        print(f"[adaround] ptq_calibrate {_time.time() - _t0:.1f}s",
+              flush=True)
+    _t0 = _time.time()
     if rcfg.sequential:
         store = capture_fp_outputs(model, variables, calib_batches, cfg)
+        run_cap, static_extras = make_sequential_capturer(model, cfg)
     else:
         store = capture_units(model, variables, qvars, act_scales,
                               calib_batches, cfg)
+    if verbose:
+        print(f"[adaround] fp-output capture {_time.time() - _t0:.1f}s "
+              f"({len(store)} units)", flush=True)
 
     # locate detection-head 1x1 convs for the prediction-level terms: the
     # subtree holding cls_head/reg_head/dir_head params (PyramidCollabModel
@@ -623,32 +717,39 @@ def adaround_reconstruct(model, variables, calib_batches,
         }
         if not w_local:
             continue
+        _t0 = _time.time()
         if rcfg.sequential:
             # input from the partially-reconstructed model: predecessors
             # already carry their hard-rounded weights + refined act steps
             inputs, extra_args = capture_unit_inputs(
-                model, dict(qvars, params=qparams), act_scales,
-                calib_batches, cfg, path_s)
+                run_cap, static_extras, dict(qvars, params=qparams),
+                act_scales, calib_batches, path_s)
         else:
             inputs, extra_args = ent["inputs"], ent["extra_args"] or []
+        _t_cap = _time.time() - _t0
         if not inputs:
             continue
         act = act_scales.get(path_s)
-        ploss = None
+        unit_heads = None
         if head_params is not None and any(
                 path_s.endswith(s) for s in rcfg.pred_unit_suffixes):
-            ploss = make_pred_loss(head_params, rcfg)
+            unit_heads = head_params
         q_sub, new_act, recon = reconstruct_unit(
             ent["module"], fp_sub, bs_sub, w_local, act,
             inputs, ent["outputs"], extra_args,
             cfg.weight_spec, cfg.act_spec, rcfg, jax.random.PRNGKey(0),
-            pred_loss=ploss,
+            head_params=unit_heads,
         )
         qparams = _set_subtree(qparams, rel, q_sub)
         if new_act is not None:
             act_scales[path_s] = new_act
         if verbose:
-            print(f"[adaround] {path_s}: recon={recon:.6f}")
+            hit = getattr(reconstruct_unit, "last_cache_hit", False)
+            print(f"[adaround] {path_s}: recon={recon:.6f} "
+                  f"(capture {_t_cap:.1f}s, optimize "
+                  f"{_time.time() - _t0 - _t_cap:.1f}s"
+                  f"{', prog-cache hit' if hit else ', compiled'})",
+                  flush=True)
 
     qvariables = dict(qvars, params=qparams)
     return qvariables, act_scales, ptq_mod.make_quantized_apply(model, cfg)

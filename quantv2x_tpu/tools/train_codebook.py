@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--max_cav", type=int, default=2)
     ap.add_argument("--seg_num", type=int, default=2)
     ap.add_argument("--dict_size", type=int, default=256)
+    ap.add_argument("--objects", type=int, default=12,
+                    help="synthetic scene objects (match the stage-1 run)")
+    ap.add_argument("--points", type=int, default=20000,
+                    help="synthetic points per agent (match stage 1)")
     args = ap.parse_args()
 
     from quantv2x_tpu.config.hypes import load_hypes
@@ -60,7 +64,7 @@ def main():
     frames = [
         make_frame(SyntheticCfg(
             lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
-            num_objects=12, points_per_agent=20000, seed=s,
+            num_objects=args.objects, points_per_agent=args.points, seed=s,
         ))
         for s in range(args.synthetic)
     ]

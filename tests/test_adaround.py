@@ -174,7 +174,9 @@ class TestSequentialRecapture:
         assert list(store) == ["c1", "c2", "c3"]  # execution order
 
         qv, asc, _ = ptq_mod.ptq_calibrate(model, variables, [x], cfg)
-        ins, extras = ar.capture_unit_inputs(model, qv, asc, [x], cfg, "c2")
+        run_cap, statics = ar.make_sequential_capturer(model, cfg)
+        ins, extras = ar.capture_unit_inputs(
+            run_cap, statics, qv, asc, [x], "c2")
         assert len(ins) == 1 and ins[0].shape == (2, 8, 8, 8)
 
     def test_recaptured_input_reflects_refined_predecessor(self):
@@ -190,10 +192,14 @@ class TestSequentialRecapture:
         cfg = ptq_mod.PTQConfig()
         qv, asc, _ = ptq_mod.ptq_calibrate(model, variables, [x], cfg)
 
-        ins_before, _ = ar.capture_unit_inputs(model, qv, asc, [x], cfg, "c2")
+        run_cap, statics = ar.make_sequential_capturer(model, cfg)
+        ins_before, _ = ar.capture_unit_inputs(
+            run_cap, statics, qv, asc, [x], "c2")
         zeroed = jax.tree.map(jnp.zeros_like, qv["params"]["c1"])
         qv2 = dict(qv, params=dict(qv["params"], c1=zeroed))
-        ins_after, _ = ar.capture_unit_inputs(model, qv2, asc, [x], cfg, "c2")
+        # SAME compiled program, refreshed params — the no-recompile path
+        ins_after, _ = ar.capture_unit_inputs(
+            run_cap, statics, qv2, asc, [x], "c2")
         assert not np.allclose(ins_before[0], ins_after[0])
 
     def test_sequential_pipeline_tracks_fp(self):
