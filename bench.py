@@ -288,10 +288,14 @@ def main():
                   f"{bound}-bound @ {frac*100:4.0f}% of roofline",
                   flush=True)
 
-    # headline = int8 e2e (fall back to best available if it failed)
-    candidates = [d for d in (int8_dt, pf_dt) if d]
-    if candidates:
-        dt = min(candidates)
+    # headline = the 4-agent int8 flagship arm — the max_cav=4 config the
+    # BASELINE accuracy table describes (VERDICT r3 #7); fall back to the
+    # 2-agent int8 arms, then bf16, if an arm failed
+    if int84_dt:
+        dt = int84_dt
+        metric = "int8_4agent_e2e_frames_per_sec_per_chip"
+    elif any(d for d in (int8_dt, pf_dt) if d):
+        dt = min(d for d in (int8_dt, pf_dt) if d)
         metric = "int8_e2e_frames_per_sec_per_chip"
     else:
         dt = min(d for d in (stock_dt, fused_dt) if d)
@@ -340,7 +344,8 @@ def main():
             "percall_ms": round(percall_ms, 2),
             "chain_frames": n_chain,
             "grid": list(voxel.grid_size),
-            "agents": max_cav,
+            "agents": 4 if int84_dt else max_cav,
+            "detail_arm_agents": max_cav,
             "backend": jax.default_backend(),
             "num_detections": int(np.asarray(det["valid"]).sum()),
             "baseline_source": "HEAL-era GPU plot point 24 FPS "

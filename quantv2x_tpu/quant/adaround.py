@@ -288,7 +288,11 @@ def make_sequential_capturer(model, cfg: ptq_mod.PTQConfig):
 
     def run(qvariables, act_scales, batch):
         # populated at trace time; traced scale values flow into the graph,
-        # later calls reuse the compiled program with fresh argument values
+        # later calls reuse the compiled program with fresh argument values.
+        # The set of units that receive act fake-quant is frozen at trace
+        # time to act_scales' keys — safe because a dict's pytree structure
+        # includes its keys, so adding/removing a key forces a retrace; only
+        # value updates (same keys) reuse the compiled program.
         scales_ref.clear()
         scales_ref.update(act_scales)
         with nn.intercept_methods(interceptor):
@@ -411,6 +415,23 @@ def make_pred_loss(head_params, rcfg: "ReconCfg"):
 _PROG_CACHE: Dict[tuple, tuple] = {}
 
 
+def _unit_key(unit):
+    """Explicit cache key for a flax unit module: type + every dataclass
+    field (excluding tree-wiring fields), regardless of each field's
+    ``repr`` flag. ``repr(unit)`` was the previous key — correctness then
+    silently depended on flax dataclass repr encoding every
+    behavior-determining field, which a future field with ``repr=False``
+    would break."""
+    import dataclasses as _dc
+
+    fields = []
+    for f in _dc.fields(unit):
+        if f.name in ("parent", "name"):
+            continue
+        fields.append((f.name, repr(getattr(unit, f.name, None))))
+    return (type(unit).__module__, type(unit).__qualname__, tuple(fields))
+
+
 def _tree_key(tree):
     return tuple(
         (jax.tree_util.keystr(path), tuple(getattr(leaf, "shape", ())),
@@ -509,11 +530,11 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
         16_000_000 // max(int(np.prod(x.shape[1:])), 1), 8, n_rows))
     rows = min(rows, n_rows)
 
-    key = (repr(unit), extra_static, act_delta is not None,
+    key = (_unit_key(unit), extra_static, act_delta is not None,
            head_params is not None, repr(rcfg), repr(spec_w), repr(spec_a),
            rows, n_rows, _tree_key(data), _tree_key(opt_vars))
-    reconstruct_unit.last_cache_hit = key in _PROG_CACHE
-    if key in _PROG_CACHE:
+    cache_hit = key in _PROG_CACHE
+    if cache_hit:
         optimize, recon_err, tx = _PROG_CACHE[key]
     else:
         optimize, recon_err, tx = _build_unit_programs(
@@ -541,8 +562,8 @@ def reconstruct_unit(unit, fp_params, batch_stats, w_scales_local,
     e_learned = float(recon_err(q_learned, new_act, data))
     e_nearest = float(recon_err(q_nearest, old_act, data))
     if e_learned <= e_nearest:
-        return q_learned, new_act, e_learned
-    return q_nearest, old_act, e_nearest
+        return q_learned, new_act, e_learned, cache_hit
+    return q_nearest, old_act, e_nearest, cache_hit
 
 
 def _quantize_unit_params(fp_params, w_scales, alphas, n_bits, hard):
@@ -734,7 +755,7 @@ def adaround_reconstruct(model, variables, calib_batches,
         if head_params is not None and any(
                 path_s.endswith(s) for s in rcfg.pred_unit_suffixes):
             unit_heads = head_params
-        q_sub, new_act, recon = reconstruct_unit(
+        q_sub, new_act, recon, hit = reconstruct_unit(
             ent["module"], fp_sub, bs_sub, w_local, act,
             inputs, ent["outputs"], extra_args,
             cfg.weight_spec, cfg.act_spec, rcfg, jax.random.PRNGKey(0),
@@ -744,7 +765,6 @@ def adaround_reconstruct(model, variables, calib_batches,
         if new_act is not None:
             act_scales[path_s] = new_act
         if verbose:
-            hit = getattr(reconstruct_unit, "last_cache_hit", False)
             print(f"[adaround] {path_s}: recon={recon:.6f} "
                   f"(capture {_t_cap:.1f}s, optimize "
                   f"{_time.time() - _t0 - _t_cap:.1f}s"
