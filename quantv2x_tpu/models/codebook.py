@@ -126,12 +126,24 @@ class _LevelQuantizer(nn.Module):
 
 
 class UMGMCodebook(nn.Module):
-    """Full multi-level quantizer with train forward / encode / decode."""
+    """Full multi-level quantizer with train forward / encode / decode.
+
+    ``use_fused``: "auto" (default) routes large eval-time encode/decode
+    calls through the fused Pallas wire kernels
+    (ops/codebook_kernels.py — whole level chain VMEM-resident, one HBM
+    round trip instead of ~15 materialized (n, C) intermediates);
+    "always"/"never" force the choice. The training path (gumbel soft
+    quantization) always uses the flax path — it needs gradients.
+    """
     channel: int = 64
     seg_num: int = 2
     dict_sizes: Sequence[int] = (256, 256, 256)
     dtype: jnp.dtype = jnp.float32
     freq_ema: float = 0.9
+    use_fused: str = "auto"
+
+    #: min rows before "auto" pays the kernel-launch overhead
+    _FUSED_MIN_ROWS = 8192
 
     def setup(self):
         self.levels = [
@@ -155,8 +167,31 @@ class UMGMCodebook(nn.Module):
         return sum(self.seg_num * math.ceil(math.log2(k))
                    for k in self.dict_sizes)
 
+    def _fused_ok(self, n: int) -> bool:
+        if self.use_fused == "never" or self.is_initializing():
+            return False
+        if len(set(self.dict_sizes)) != 1 or self.channel % self.seg_num:
+            return False
+        return self.use_fused == "always" or n >= self._FUSED_MIN_ROWS
+
+    def _packed(self):
+        from quantv2x_tpu.ops.codebook_kernels import pack_codebook_params
+        return pack_codebook_params(
+            self.variables["params"], self.seg_num, tuple(self.dict_sizes),
+            self.channel)
+
+    @staticmethod
+    def _interpret() -> bool:
+        return jax.default_backend() != "tpu"
+
     def encode(self, x):
         """x: (n, C) -> codes (n, L, m) int32 — the wire payload."""
+        if self._fused_ok(x.shape[0]):
+            from quantv2x_tpu.ops.codebook_kernels import \
+                fused_codebook_encode
+            return fused_codebook_encode(
+                self._packed(), x, self.seg_num, tuple(self.dict_sizes),
+                dtype=self.dtype, interpret=self._interpret())
         codes = []
         for lvl in self.levels:
             x_next, code = lvl.encode(x)
@@ -167,6 +202,13 @@ class UMGMCodebook(nn.Module):
 
     def decode(self, codes):
         """codes: (n, L, m) -> (n, C)."""
+        if self._fused_ok(codes.shape[0]):
+            from quantv2x_tpu.ops.codebook_kernels import \
+                fused_codebook_decode
+            return fused_codebook_decode(
+                self._packed(), codes, self.seg_num,
+                tuple(self.dict_sizes), self.channel,
+                dtype=self.dtype, interpret=self._interpret())
         former = None
         for i in reversed(range(len(self.levels))):
             lvl = self.levels[i]
