@@ -49,6 +49,13 @@ class ModalityCfg:
     # camera (lift_splat_shoot) branch knobs
     image_size: tuple = (64, 96)           # (H, W) input images
     depth_bins: tuple = (1.0, 40.0, 1.0)   # (min, max, step) metres
+    # static per-frame agent-slot budget for this modality (0 = max_cav).
+    # Encoder compute scales with the SUM of capacities, not
+    # n_modalities x max_cav — set it to the modality assignment's true
+    # per-frame maximum (e.g. 2 of each modality at max_cav=4) to halve
+    # heter encode cost; slots beyond the budget fall back to zeros
+    # (= agent dropped, like the reference's use_cav cap)
+    capacity: int = 0
 
 
 class ConvAligner(nn.Module):
@@ -198,8 +205,23 @@ class HeterCollabModel(nn.Module):
             feat = self.aligners[mod.name](feat, train)
         return feat
 
+    # per-agent batch leaves consumed by the modality branches (leading
+    # dims (B, L)); everything else is frame-shared
+    _AGENT_LEAVES = ("voxel_features", "voxel_coords", "voxel_num_points",
+                     "voxel_mask", "camera_imgs", "camera_intrinsics",
+                     "camera_rots", "camera_trans")
+
     def encode_agents(self, batch, train: bool = False):
-        """Modality-routed agent features (B, L, h, w, C)."""
+        """Modality-routed agent features (B, L, h, w, C).
+
+        TPU redesign of the reference's dynamic per-modality dispatch
+        (heter_pyramid_collab_mc.py:179-185): each modality branch runs on
+        a COMPACTED agent axis — a stable argsort groups that modality's
+        slots first, the branch encodes its static `capacity` budget, and
+        the features scatter back to their original slots (OOB-drop masks
+        slots of other modalities). Static shapes, and encoder compute
+        scales with sum(capacity) instead of n_modalities x max_cav (the
+        previous run-all-and-jnp.where-select paid M x encoder FLOPs)."""
         vf = batch["voxel_features"]
         B, L = vf.shape[:2]
         mod_ids = batch.get("agent_modality")
@@ -207,11 +229,33 @@ class HeterCollabModel(nn.Module):
             feat = self._branch_features(self.modalities[0], batch, train)
             return feat.reshape(B, L, *feat.shape[1:])
         out = None
+        amask = batch.get("agent_mask")
+        live = (amask.astype(bool) if amask is not None
+                else jnp.ones(mod_ids.shape, bool))
         for mi, mod in enumerate(self.modalities):
-            feat = self._branch_features(mod, batch, train)
-            feat = feat.reshape(B, L, *feat.shape[1:])
-            sel = (mod_ids == mi)[:, :, None, None, None]
-            out = jnp.where(sel, feat, 0.0 if out is None else out)
+            cap = min(mod.capacity or L, L)
+            # stable sort: this modality's LIVE slots first (padded slots
+            # carry modality 0 and must not claim budget), original order
+            idx = jnp.argsort(
+                jnp.where((mod_ids == mi) & live, 0, 1), axis=1,
+                stable=True,
+            )[:, :cap]                                     # (B, cap)
+            sub = dict(batch)
+            for key in self._AGENT_LEAVES:
+                if key in sub:
+                    v = sub[key]
+                    ix = idx.reshape(B, cap, *([1] * (v.ndim - 2)))
+                    sub[key] = jnp.take_along_axis(v, ix, axis=1)
+            feat = self._branch_features(mod, sub, train)
+            feat = feat.reshape(B, cap, *feat.shape[1:])
+            if out is None:
+                out = jnp.zeros((B, L) + feat.shape[2:], feat.dtype)
+            # scatter back; slots whose modality differs (argsort tail
+            # garbage beyond this frame's true count) drop out of bounds
+            valid = jnp.take_along_axis(mod_ids, idx, axis=1) == mi
+            idx_w = jnp.where(valid, idx, L)
+            out = out.at[jnp.arange(B)[:, None], idx_w].set(
+                feat, mode="drop")
         return out
 
     def fuse_and_predict(self, agent_feats, batch, train: bool = False):

@@ -140,3 +140,69 @@ def test_heter_single_scale_fusion_method(batch):
     out = model.apply(variables, batch, train=False)
     assert np.isfinite(np.asarray(out["cls_preds"])).all()
     assert out["occ_maps"] == []
+
+
+def test_compacted_encode_matches_whereselect_oracle(batch):
+    """encode_agents (compacted gather->encode->scatter) must equal the
+    run-every-branch-and-select oracle slot for slot (eval mode)."""
+    model = HeterCollabModel(
+        MODEL,
+        modalities=(
+            ModalityCfg("m1", "point_pillar"),
+            ModalityCfg("m2", "point_pillar", aligner="conv"),
+        ),
+    )
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
+    )(batch)
+
+    def oracle(mdl, b):
+        vf = b["voxel_features"]
+        B, L = vf.shape[:2]
+        mod_ids = b["agent_modality"]
+        out = None
+        for mi, mod in enumerate(mdl.modalities):
+            feat = mdl._branch_features(mod, b, False)
+            feat = feat.reshape(B, L, *feat.shape[1:])
+            sel = (mod_ids == mi)[:, :, None, None, None]
+            out = jnp.where(sel, feat, 0.0 if out is None else out)
+        return out
+
+    got = model.apply(variables, batch, method="encode_agents")
+    want = model.apply(variables, batch, method=oracle)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_capacity_budget_compacts_and_drops(batch):
+    """capacity=1 per modality: same outputs when counts fit the budget;
+    an over-budget agent drops to zeros (reference use_cav-cap analogue)."""
+    model = HeterCollabModel(
+        MODEL,
+        modalities=(
+            ModalityCfg("m1", "point_pillar", capacity=1),
+            ModalityCfg("m2", "point_pillar", capacity=1),
+        ),
+    )
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)
+    )(batch)
+    full = HeterCollabModel(
+        MODEL,
+        modalities=(ModalityCfg("m1", "point_pillar"),
+                    ModalityCfg("m2", "point_pillar")),
+    )
+    # one agent of each modality: budget fits, outputs identical
+    got = model.apply(variables, batch, method="encode_agents")
+    want = full.apply(variables, batch, method="encode_agents")
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=1e-6)
+    # both agents on m1 with budget 1: slot 0 kept, slot 1 zeroed
+    b2 = dict(batch, agent_modality=jnp.array([[0, 0]]))
+    got2 = np.asarray(
+        model.apply(variables, b2, method="encode_agents"), np.float32)
+    want2 = np.asarray(
+        full.apply(variables, b2, method="encode_agents"), np.float32)
+    np.testing.assert_allclose(got2[:, 0], want2[:, 0], atol=1e-6)
+    assert np.all(got2[:, 1] == 0.0)
