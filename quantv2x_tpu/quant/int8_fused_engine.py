@@ -320,18 +320,39 @@ def _ste_fq(x, grid):
     return x + jax.lax.stop_gradient(q - x)
 
 
+def _lsq_fq(x, d, ezp):
+    """Fake quant on a stored-int8 grid with an LSQ-differentiable delta:
+    gradients flow to ``d`` through both the scaled input and the rescale
+    (the standard learned-step-size estimator), to ``x`` straight-through."""
+    s = x / d + ezp
+    s_c = jnp.clip(s, -128.0, 127.0)
+    s_r = s_c + jax.lax.stop_gradient(jnp.round(s_c) - s_c)
+    return (s_r - ezp) * d
+
+
 def refine_block_rounding(kind, ws, grids, g_out, x, y_fp, iters: int = 600,
-                          lr: float = 1e-2, rows: int = 8, seed: int = 0):
+                          lr: float = 1e-2, rows: int = 8, seed: int = 0,
+                          learn_grids: bool = True, grid_lr: float = 4e-5):
     """AdaRound at the fused-block granularity: learn each folded conv's
     rounding mask to reconstruct the FP block output under the engine's
     boundary grids (parity: quant/block_recon.py:93-232 applied to the
     TensorRT-split blocks; soft rounding + annealed relaxation from
     quant/adaround.py).
 
+    ``learn_grids``: jointly refine the block's INTERNAL activation grid
+    deltas (g_h1 / g_h2) LSQ-style alongside the rounding masks — the
+    engine counterpart of the reference's set_act_quantize_params + lr_a
+    step-size optimization inside block reconstruction
+    (block_recon.py:140-176). Only internal grids move: the block-boundary
+    grids (g_in / g_out) are shared with the neighbouring blocks in the
+    deployed chain (make_int8_fused_apply chains out->in) and must stay
+    where the clip search put them.
+
     ws: folded float convs with bottleneck w2 in GROUPED (3, 3, cpg, out)
-    layout (build_fused_tables(pack_grouped=False)). Returns int8 codes
-    per conv in the same layouts (pack afterwards), or None when learned
-    rounding fails to beat nearest on the calibration recon error."""
+    layout (build_fused_tables(pack_grouped=False)). Returns
+    (codes, refined_grids) — int8 codes per conv in the same layouts and
+    the (possibly updated) full grid list — or None when the learned
+    result fails to beat nearest rounding on the calibration recon error."""
     import optax
 
     from quantv2x_tpu.quant.adaround import (alpha_init, rect_sigmoid,
@@ -345,6 +366,13 @@ def refine_block_rounding(kind, ws, grids, g_out, x, y_fp, iters: int = 600,
         str(i): alpha_init(w.astype(jnp.float32), d)
         for i, (w, d) in enumerate(zip(weights, dws))
     }
+    n_internal = 1 if kind == "basic" else 2
+    log_dh0 = jnp.log(jnp.stack([
+        jnp.maximum(grids[1 + i][0], 1e-12) for i in range(n_internal)
+    ]))
+    opt0 = {"alphas": alphas0}
+    if learn_grids:
+        opt0["log_dh"] = log_dh0
     groups = 1
     if kind != "basic":
         cpg, out_ch = weights[1].shape[2], weights[1].shape[3]
@@ -363,21 +391,28 @@ def refine_block_rounding(kind, ws, grids, g_out, x, y_fp, iters: int = 600,
             x, w, (1, 1), "SAME", dimension_numbers=dn,
             feature_group_count=grp)
 
-    def sim(x, alphas, hard):
+    def sim(x, opt, hard):
+        alphas = opt["alphas"]
+
+        def fq_h(h, i):
+            d = (jnp.exp(opt["log_dh"][i]) if learn_grids
+                 else grids[1 + i][0])
+            return _lsq_fq(h, d, grids[1 + i][1])
+
         xq = _ste_fq(x, grids[0])
         if kind == "basic":
             h = jnp.maximum(conv3x3(xq, soft_w(0, alphas, hard))
                             + biases[0], 0.0)
-            h = _ste_fq(h, grids[1])
+            h = fq_h(h, 0)
             y = conv3x3(h, soft_w(1, alphas, hard)) + biases[1]
         else:
             w1 = soft_w(0, alphas, hard)          # (C, width) 1x1
             h = jnp.maximum(jnp.einsum("nhwc,cd->nhwd", xq, w1)
                             + biases[0], 0.0)
-            h = _ste_fq(h, grids[1])
+            h = fq_h(h, 0)
             h = jnp.maximum(conv3x3(h, soft_w(1, alphas, hard), groups)
                             + biases[1], 0.0)
-            h = _ste_fq(h, grids[2])
+            h = fq_h(h, 1)
             w3 = soft_w(2, alphas, hard)          # (width, C) 1x1
             y = jnp.einsum("nhwc,cd->nhwd", h, w3) + biases[2]
         # the deployed block emits int8 codes on the boundary grid — fake
@@ -390,21 +425,25 @@ def refine_block_rounding(kind, ws, grids, g_out, x, y_fp, iters: int = 600,
     n = x.shape[0]
     rows_eff = min(rows, n)
     warm = int(iters * 0.2)
-    tx = optax.adam(lr)
+    tx = optax.multi_transform(
+        {"alphas": optax.adam(lr), "log_dh": optax.adam(grid_lr)},
+        param_labels=lambda tree: {k: k for k in tree},
+    )
     rng = jax.random.PRNGKey(seed)
 
-    def loss_fn(alphas, beta, xb, yb):
-        y = sim(xb, alphas, hard=False)
+    def loss_fn(opt, beta, xb, yb):
+        y = sim(xb, opt, hard=False)
         recon = jnp.mean((y - yb) ** 2)
+        alphas = opt["alphas"]
         rl = sum(round_loss(a, beta) for a in alphas.values()) / len(alphas)
         return recon + 0.01 * rl
 
     @jax.jit
-    def optimize(alphas, x, y_fp):
-        state = tx.init(alphas)
+    def optimize(opt, x, y_fp):
+        state = tx.init(opt)
 
         def body(it, carry):
-            alphas, state = carry
+            opt, state = carry
             t = jnp.clip((it - warm) / max(iters - warm, 1), 0.0, 1.0)
             beta = 20.0 + (2.0 - 20.0) * t
             if rows_eff < n:
@@ -413,33 +452,39 @@ def refine_block_rounding(kind, ws, grids, g_out, x, y_fp, iters: int = 600,
                 xb, yb = x[idx], y_fp[idx]
             else:
                 xb, yb = x, y_fp
-            grads = jax.grad(loss_fn)(alphas, beta, xb, yb)
+            grads = jax.grad(loss_fn)(opt, beta, xb, yb)
             upd, state = tx.update(grads, state)
-            return optax.apply_updates(alphas, upd), state
+            return optax.apply_updates(opt, upd), state
 
-        alphas, _ = jax.lax.fori_loop(0, iters, body, (alphas, state))
-        return alphas
+        opt, _ = jax.lax.fori_loop(0, iters, body, (opt, state))
+        return opt
 
-    alphas = optimize(alphas0, x, y_fp)
+    opt = optimize(opt0, x, y_fp)
 
     @jax.jit
-    def recon_err(alphas, x, y_fp):
-        return jnp.mean((sim(x, alphas, hard=True) - y_fp) ** 2)
+    def recon_err(opt, x, y_fp):
+        return jnp.mean((sim(x, opt, hard=True) - y_fp) ** 2)
 
-    e_learned = float(recon_err(alphas, x, y_fp))
+    e_learned = float(recon_err(opt, x, y_fp))
     # hard mode thresholds h(alpha) >= 0.5, which for init alphas is
     # exactly nearest rounding (h(alpha_init) = frac) — no scaling needed
-    e_nearest = float(recon_err(alphas0, x, y_fp))
+    e_nearest = float(recon_err(opt0, x, y_fp))
     # `not <=` (instead of `>`) so a NaN recon error fails CLOSED to
     # nearest rounding rather than baking diverged codes into the engine
     if not (e_learned <= e_nearest):
         return None
+    alphas = opt["alphas"]
     codes = []
     for i in range(len(weights)):
         h = rect_sigmoid(alphas[str(i)])
         codes.append(jnp.clip(floors[i] + (h >= 0.5), -127, 127)
                      .astype(jnp.int8))
-    return codes
+    new_grids = list(grids)
+    if learn_grids:
+        for i in range(n_internal):
+            new_grids[1 + i] = (jnp.exp(opt["log_dh"][i]),
+                                grids[1 + i][1])
+    return codes, new_grids
 
 
 def _pack_codes_like(codes_grouped, w_packed):
@@ -522,14 +567,14 @@ def build_int8_fused_tables(model, variables, calib_batches, cfg=None,
                 continue
             x, y_fp = io[path_s]
             grids = [_grid(*r) for r in s["in_ranges"]]
-            codes = refine_block_rounding(
+            got = refine_block_rounding(
                 kinds[path_s], grouped[path_s][1:], grids,
                 _grid(*s["out_range"]), x, y_fp, iters=adaround_iters)
-            if codes is not None:
-                refined[path_s] = codes
+            if got is not None:
+                refined[path_s] = got
             if verbose:
                 print(f"[int8-engine] adaround {path_s}: "
-                      f"{'refined' if codes is not None else 'kept nearest'}")
+                      f"{'refined' if got is not None else 'kept nearest'}")
 
     def build_all(specs):
         out = {}
@@ -537,7 +582,9 @@ def build_int8_fused_tables(model, variables, calib_batches, cfg=None,
             grids = [_grid(*r) for r in s["in_ranges"]]
             g_out = _grid(*s["out_range"])
             ws = s["ws"]
-            codes = refined.get(path_s)
+            codes = None
+            if path_s in refined:
+                codes, grids = refined[path_s]
             if kinds[path_s] == "basic":
                 w1, b1, w2, b2 = ws
                 w1q, sb1 = _conv_tables(
