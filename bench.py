@@ -82,8 +82,7 @@ def main():
     pp_cfg = PostprocessCfg(gt_range=lidar_range, pre_nms_top_k=256,
                             max_detections=150)
 
-    @jax.jit
-    def e2e(variables, batch):
+    def _e2e(variables, batch):
         out = model.apply(variables, batch, train=False)
         det = decode_detections(
             out["cls_preds"][0], out["reg_preds"][0], anchors, pp_cfg,
@@ -91,9 +90,18 @@ def main():
         )
         return det
 
+    # AOT split so the persistent-cache question is answerable: trace_s is
+    # host-side tracing/lowering (on the tunneled backend this includes
+    # any trace-time device traffic), compile_s is the XLA compile or
+    # cache load alone — conflating them made r3 report "cache miss" for
+    # what was actually 500+ s of trace-time eager dispatch
     t0 = time.time()
-    det = jax.block_until_ready(e2e(variables, batch))
+    e2e_lowered = jax.jit(_e2e).lower(variables, batch)
+    trace_s = time.time() - t0
+    t0 = time.time()
+    e2e = e2e_lowered.compile()
     compile_s = time.time() - t0
+    det = jax.block_until_ready(e2e(variables, batch))
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
     REP = 4 if small else 16
@@ -324,6 +332,7 @@ def main():
         "vs_baseline": round(fps / 24.0, 3),
         "detail": {
             "compile_s": round(compile_s, 1),
+            "trace_s": round(trace_s, 1),
             "compile_cache_entries_before": cache_entries_before,
             "compile_cache_hit": bool(cache_entries_before and
                                       compile_s < 30.0),

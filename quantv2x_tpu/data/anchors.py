@@ -115,11 +115,17 @@ def generate_anchors(cfg: AnchorGridCfg):
             m_thr.append(c.matched_threshold)
             u_thr.append(c.unmatched_threshold)
     anchors = np.stack(per_class, axis=2).astype(np.float32)  # (Hf, Wf, S, 7)
+    # returned as NUMPY: these are trace-time constants closed over by
+    # every jitted program (train step, e2e, decode). A committed device
+    # array here costs a device->host fetch per lowering — on the
+    # tunneled-TPU backend that is seconds per program (BENCH r3's
+    # "544 s compile" was mostly this class of trace-time traffic); numpy
+    # constants embed for free.
     return (
-        jnp.asarray(anchors),
-        jnp.asarray(np.array(slot_cls, np.int32)),
-        jnp.asarray(np.array(m_thr, np.float32)),
-        jnp.asarray(np.array(u_thr, np.float32)),
+        anchors,
+        np.array(slot_cls, np.int32),
+        np.array(m_thr, np.float32),
+        np.array(u_thr, np.float32),
     )
 
 

@@ -143,7 +143,7 @@ def ciassd_iou_loss(outputs, label_dict, anchors, weight: float = 1.0,
     pos_norm = jnp.clip(positives.sum(axis=1, keepdims=True), 1.0)
     reg_w = positives / pos_norm
 
-    anchors_flat = anchors.reshape(-1, 7)
+    anchors_flat = jnp.asarray(anchors).reshape(-1, 7)
     reg_preds = outputs["reg_preds"].astype(jnp.float32).reshape(B, -1, 7)
     reg_tgts = label_dict["targets"].reshape(B, -1, 7)
     iou_preds = outputs["iou_preds"].astype(jnp.float32).reshape(B, -1)

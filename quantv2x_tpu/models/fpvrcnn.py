@@ -340,7 +340,7 @@ class FPVRCNN(nn.Module):
         det_boxes, det_scores, det_masks = [], [], []
         kps, kp_masks, kp_feats = [], [], []
         s1_outs = []
-        anchors_flat = anchors.reshape(-1, 7)
+        anchors_flat = jnp.asarray(anchors).reshape(-1, 7)
         for a in range(A):                      # static agent loop (shared
             vox = {k: frame[k][a] for k in     # params across agents)
                    ("voxel_features", "voxel_coords", "voxel_num_points",
