@@ -13,3 +13,33 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Auto-mark heavy tests `slow` (VERDICT r3 #10: keep the default gate fast).
+# tests/slow_tests.txt lists nodeids measured >= 45 s single-core; the
+# default `pytest -q -n 8` run deselects them (pytest.ini addopts) and
+# finishes in ~5 min. Run everything with `pytest -m ""`.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW_FILE = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def _slow_ids():
+    try:
+        with open(_SLOW_FILE) as f:
+            return {ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_ids()
+    if not slow:
+        return
+    for item in items:
+        nodeid = item.nodeid.split("/")[-1]  # tests/foo.py::t -> foo.py::t
+        if nodeid in slow:
+            item.add_marker(pytest.mark.slow)
