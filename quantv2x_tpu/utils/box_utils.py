@@ -23,17 +23,23 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from quantv2x_tpu.utils.common import round_up
 
 # 8-corner template in box-local frame, unit box, matches reference ordering:
 # bottom face 0-3 (z=-1/2), top face 4-7 (z=+1/2); BEV footprint is CCW.
-_CORNER_TEMPLATE = jnp.array(
+# NUMPY on purpose: a module-level jnp constant is an eager device array on
+# the import-time default backend; every later jit that closes over it must
+# fetch it back during lowering — measured at 230+ s for this one 96-byte
+# array over the tunneled-TPU backend (r4 constprobe; the bulk of r3's
+# "544 s compile"). Keep trace-time constants host-side.
+_CORNER_TEMPLATE = np.array(
     [
         [1, -1, -1], [1, 1, -1], [-1, 1, -1], [-1, -1, -1],
         [1, -1, 1], [1, 1, 1], [-1, 1, 1], [-1, -1, 1],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 ) / 2.0
 
 
