@@ -41,6 +41,72 @@ def gumbel_softmax_st(logits, temperature, rng):
     return y_hard + y_soft - jax.lax.stop_gradient(y_soft)
 
 
+def soft_roundtrip_pure(params, seg_num, dict_sizes, x, rng, valid, dtype):
+    """Gumbel soft round-trip as a pure function of the UMGMCodebook param
+    tree — the numerical twin of the flax submodule path (kept for init),
+    callable inside jax.lax.map + jax.checkpoint (flax scope reads are not
+    allowed inside jax control flow, so the chunked train forward needs a
+    scope-free implementation).
+
+    Returns (restored (n, C), codes (n, L, m) int32, masked sq-err sum,
+    per-level usage counts [(m, k)]). ``valid`` masks padded rows out of
+    samples/counts/loss.
+    """
+    L = len(dict_sizes)
+    m = seg_num
+
+    def dense(h, lvlp, name):
+        W = lvlp[name]["kernel"].astype(dtype)
+        b = lvlp[name]["bias"].astype(dtype)
+        return h.astype(dtype) @ W + b
+
+    n = x.shape[0]
+    vmask = valid[:, None, None]
+    samples, codes = [], []
+    h = x
+    for i, k in enumerate(dict_sizes):
+        lvlp = params[f"level{i}"]
+        cb = lvlp["codebook"]                       # (m, k, d) f32
+        is_last = i == L - 1
+        z = dense(h, lvlp, "latent_enc")
+        q = dense(z, lvlp, "quant_head")
+        xs = q.reshape(n, m, -1)
+        x2 = (xs ** 2).sum(-1, keepdims=True)
+        c2 = (cb ** 2).sum(-1)
+        inter = jnp.einsum("nmd,mkd->nmk", xs, cb,
+                           preferred_element_type=jnp.float32)
+        dist = x2 + c2[None] - 2 * inter
+        logit = -dist / math.sqrt(k)
+        temp = jnp.maximum(lvlp["temperature"], EPS)
+        sample = gumbel_softmax_st(logit * temp, 1.0,
+                                   jax.random.fold_in(rng, i))
+        sample = sample * vmask.astype(sample.dtype)
+        code = jnp.argmax(logit, axis=-1)
+        samples.append(sample)
+        codes.append(code)
+        if not is_last:
+            z2 = dense(z, lvlp, "latent_head")
+            deq = jnp.einsum("nmk,mkd->nmd", sample, cb,
+                             preferred_element_type=jnp.float32
+                             ).reshape(n, -1)
+            h = z2 - deq
+    former = None
+    for i in reversed(range(L)):
+        lvlp = params[f"level{i}"]
+        cb = lvlp["codebook"]
+        q_vec = jnp.einsum("nmk,mkd->nmd", samples[i], cb,
+                           preferred_element_type=jnp.float32).reshape(n, -1)
+        y = dense(q_vec, lvlp, "dequant_head")
+        if former is not None and i < L - 1:
+            y = y + dense(former, lvlp, "side_head")
+        former = dense(y, lvlp, "restore_head")
+    vm = valid[:, None].astype(jnp.float32)
+    sq = ((former.astype(jnp.float32)
+           - jax.lax.stop_gradient(x).astype(jnp.float32)) ** 2 * vm).sum()
+    counts = [s.sum(0) for s in samples]
+    return former, jnp.stack(codes, axis=1).astype(jnp.int32), sq, counts
+
+
 class _LevelQuantizer(nn.Module):
     """One residual level: encode heads + m-segment codebook + decode heads."""
     channel: int
@@ -216,17 +282,19 @@ class UMGMCodebook(nn.Module):
             former = lvl.decode_level(q, former)
         return former
 
-    def __call__(self, x, train: bool = False):
-        """Soft (train) or hard (eval) round-trip.
+    #: soft-path row chunking: the gumbel train path materializes several
+    #: (n, m, k) tensors through backward — at the flagship grid
+    #: (n = B*L*H*W ~ 1.4e5, m*k = 512) that OOMs a 16 GB chip. Rows are
+    #: independent, so the train forward maps over chunks of this many
+    #: rows with jax.checkpoint (backward recomputes one chunk at a time);
+    #: EMA usage counts sum across chunks exactly.
+    _TRAIN_CHUNK_ROWS = 16384
 
-        Returns (restored (n, C), codes (n, L, m), code_loss scalar).
-        """
-        if not train:
-            codes = self.encode(x)
-            return self.decode(codes), codes, jnp.float32(0.0)
-
-        x_gt = jax.lax.stop_gradient(x)
-        rng = self.make_rng("gumbel")
+    def _module_soft_chunk(self, x, rng):
+        """Soft round-trip via the flax submodules — used ONLY while
+        initializing (it must touch every head so setup creates params).
+        `soft_roundtrip_pure` is the numerical twin used afterwards
+        (tested identical in tests/test_codebook_kernels.py)."""
         samples, codes = [], []
         h = x
         for i, lvl in enumerate(self.levels):
@@ -237,21 +305,72 @@ class UMGMCodebook(nn.Module):
             codes.append(code)
             if residual is not None:
                 h = residual
-            # EMA code-usage stats (codebook.py updateFreq:357-368)
-            freq = self.freq_vars[i]
-            if not self.is_initializing():
-                used = sample.sum(0)
-                norm = used / jnp.maximum(used.sum(-1, keepdims=True), 1.0)
-                freq.value = (
-                    self.freq_ema * freq.value + (1 - self.freq_ema) * norm
-                )
         former = None
         for i in reversed(range(len(self.levels))):
             lvl = self.levels[i]
             q = lvl._dequant_soft(samples[i])
             former = lvl.decode_level(q, former)
-        code_loss = jnp.mean((former - x_gt) ** 2)
-        return former, jnp.stack(codes, axis=1).astype(jnp.int32), code_loss
+        sq = ((former.astype(jnp.float32)
+               - jax.lax.stop_gradient(x).astype(jnp.float32)) ** 2).sum()
+        counts = [s.sum(0) for s in samples]
+        return former, jnp.stack(codes, axis=1).astype(jnp.int32), sq, counts
+
+    def __call__(self, x, train: bool = False):
+        """Soft (train) or hard (eval) round-trip.
+
+        Returns (restored (n, C), codes (n, L, m), code_loss scalar).
+        """
+        if not train:
+            codes = self.encode(x)
+            return self.decode(codes), codes, jnp.float32(0.0)
+
+        rng = self.make_rng("gumbel")
+        n, C = x.shape
+        rows = self._TRAIN_CHUNK_ROWS
+        if self.is_initializing():
+            former, codes, sq, counts = self._module_soft_chunk(x, rng)
+        else:
+            params = self.variables["params"]
+            sizes = tuple(self.dict_sizes)
+
+            def chunk(xc, rng_c, valid):
+                return soft_roundtrip_pure(
+                    params, self.seg_num, sizes, xc, rng_c, valid,
+                    self.dtype)
+
+            if n <= rows:
+                former, codes, sq, counts = chunk(
+                    x, rng, jnp.ones((n,), bool))
+            else:
+                nc = -(-n // rows)
+                xp = jnp.pad(x, ((0, nc * rows - n), (0, 0)))
+                validp = jnp.arange(nc * rows) < n
+
+                def body(args):
+                    i, xc, vc = args
+                    return chunk(xc, jax.random.fold_in(rng, 7 + i), vc)
+
+                former, codes, sq, counts = jax.lax.map(
+                    jax.checkpoint(body),
+                    (jnp.arange(nc),
+                     xp.reshape(nc, rows, C),
+                     validp.reshape(nc, rows)),
+                )
+                former = former.reshape(nc * rows, C)[:n]
+                codes = codes.reshape(nc * rows, *codes.shape[2:])[:n]
+                sq = sq.sum()
+                counts = [c.sum(0) for c in counts]
+        # EMA code-usage stats (codebook.py updateFreq:357-368) — counts
+        # summed over chunks equal the unchunked sample.sum(0) exactly
+        if not self.is_initializing():
+            for i, used in enumerate(counts):
+                freq = self.freq_vars[i]
+                norm = used / jnp.maximum(used.sum(-1, keepdims=True), 1.0)
+                freq.value = (
+                    self.freq_ema * freq.value + (1 - self.freq_ema) * norm
+                )
+        code_loss = sq / (n * C)
+        return former, codes, code_loss
 
 
 class CodebookCompressor(nn.Module):

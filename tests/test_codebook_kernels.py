@@ -84,3 +84,71 @@ def test_compressor_roundtrip_with_fused():
     assert aux["codebook_codes"].shape == (1, 2, 40, 40, 6)
     # restored features correlate with the input (learned-free sanity)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_soft_roundtrip_pure_matches_module_path():
+    """The scope-free train forward (soft_roundtrip_pure, used under
+    lax.map+checkpoint) must match the flax submodule soft path bit for
+    bit given the same rng."""
+    from quantv2x_tpu.models.codebook import soft_roundtrip_pure
+
+    cb = UMGMCodebook(channel=64, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (256, 64))
+    variables = cb.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(2)},
+        x[:8], train=True)
+    rng = jax.random.PRNGKey(9)
+
+    def module_path(mdl, xx):
+        return mdl._module_soft_chunk(xx, rng)
+
+    fm, cm, sqm, cntm = cb.apply(variables, x, method=module_path)
+    fp, cp, sqp, cntp = soft_roundtrip_pure(
+        variables["params"], 2, (256, 256, 256), x, rng,
+        jnp.ones((x.shape[0],), bool), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fm), np.asarray(fp),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(cp))
+    np.testing.assert_allclose(float(sqm), float(sqp), rtol=1e-5)
+    for a, b in zip(cntm, cntp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-5)
+
+
+def test_chunked_train_forward_grads_and_loss():
+    """Chunked (lax.map + checkpoint) train forward: loss matches the
+    single-chunk path and gradients flow to every level's params."""
+    cb_small = UMGMCodebook(channel=64, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(6), (300, 64))
+    variables = cb_small.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(2)},
+        x[:8], train=True)
+
+    chunked = UMGMCodebook(channel=64, dtype=jnp.float32)
+    chunked._TRAIN_CHUNK_ROWS  # class attr; patch via subclassing instead
+
+    class Tiny(UMGMCodebook):
+        _TRAIN_CHUNK_ROWS = 128   # forces 3 chunks (two padded rows masked)
+
+    tiny = Tiny(channel=64, dtype=jnp.float32)
+
+    def loss(params, model):
+        out, _, code_loss = model.apply(
+            {**variables, "params": params}, x, train=True,
+            rngs={"gumbel": jax.random.PRNGKey(3)},
+            mutable=["codebook_stats"])[0]
+        return code_loss
+
+    l1 = float(loss(variables["params"], cb_small))
+    l2 = float(loss(variables["params"], tiny))
+    # same loss definition; rng folding differs per chunk so allow slack
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert abs(l1 - l2) / max(abs(l1), 1e-6) < 0.5, (l1, l2)
+
+    g = jax.grad(lambda p: loss(p, tiny))(variables["params"])
+    leaves = jax.tree_util.tree_leaves_with_path(g)
+    nz = {jax.tree_util.keystr(p): float(jnp.abs(v).sum())
+          for p, v in leaves}
+    for lvl in ("level0", "level1", "level2"):
+        tot = sum(v for k, v in nz.items() if lvl in k)
+        assert np.isfinite(tot) and tot > 0, (lvl, tot)
