@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--seg_num", type=int, default=2)
     ap.add_argument("--dict_size", type=int, default=256)
     ap.add_argument("--cache_dir", default=None)
+    ap.add_argument("--engine_clip", choices=["mse", "entropy", "percentile"],
+                    default="mse")
+    ap.add_argument("--engine_adaround", type=int, default=0,
+                    help="block-AdaRound iters for the engine tables "
+                         "(reference-scale: 5000)")
     ap.add_argument("--engine", choices=["none", "int8_fused"],
                     default="none",
                     help="run encode/decode through the int8 fused-block "
@@ -96,7 +101,8 @@ def main():
         from quantv2x_tpu.quant.int8_fused_engine import \
             build_int8_fused_engine
         _, model_apply = build_int8_fused_engine(
-            model, variables, batches[: min(4, len(batches))], h_tile=16)
+            model, variables, batches[: min(4, len(batches))], h_tile=16,
+            clip=args.engine_clip, adaround_iters=args.engine_adaround)
 
     @jax.jit
     def encode_stage(variables, batch):
