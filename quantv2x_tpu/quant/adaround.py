@@ -33,6 +33,7 @@ reconstruction follows the reference's recon_model recursion
 """
 
 import dataclasses
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import flax.linen as nn
@@ -671,10 +672,58 @@ def _build_unit_programs(unit, extra_static, spec_w: QuantSpec,
     return optimize, recon_err, tx
 
 
+def _resume_path(resume_dir, path_s):
+    return os.path.join(resume_dir, path_s.replace("/", "__") + ".npz")
+
+
+def _save_unit_result(resume_dir, path_s, q_sub, new_act):
+    """Persist one reconstructed unit (crash resume: a flagship 5000-iter
+    run is hours, and the tunneled TPU worker can kernel-fault at any
+    point — r4 lost a 64/69-unit run to exactly that)."""
+    flat = jax.tree_util.tree_flatten_with_path(q_sub)[0]
+    payload = {"param::" + jax.tree_util.keystr(p): np.asarray(v)
+               for p, v in flat}
+    if new_act is not None:
+        payload["act::delta"] = np.asarray(new_act[0])
+        if new_act[1] is not None:
+            payload["act::zp"] = np.asarray(new_act[1])
+    tmp = _resume_path(resume_dir, path_s) + ".tmp"
+    np.savez(tmp, **payload)
+    os.replace(tmp, _resume_path(resume_dir, path_s))
+
+
+def _load_unit_result(resume_dir, path_s, fp_sub):
+    fn = _resume_path(resume_dir, path_s)
+    if not os.path.exists(fn):
+        return None
+    data = np.load(fn)
+    flat = jax.tree_util.tree_flatten_with_path(fp_sub)
+    leaves = []
+    for p, v in flat[0]:
+        key = "param::" + jax.tree_util.keystr(p)
+        if key not in data:
+            return None          # structure drifted — recompute
+        leaves.append(jnp.asarray(data[key]).astype(v.dtype))
+    q_sub = jax.tree_util.tree_unflatten(flat[1], leaves)
+    new_act = None
+    if "act::delta" in data:
+        zp = jnp.asarray(data["act::zp"]) if "act::zp" in data else None
+        new_act = (jnp.asarray(data["act::delta"]), zp)
+    return q_sub, new_act
+
+
 def adaround_reconstruct(model, variables, calib_batches,
                          cfg: ptq_mod.PTQConfig = None,
-                         rcfg: ReconCfg = None, verbose: bool = False):
+                         rcfg: ReconCfg = None, verbose: bool = False,
+                         resume_dir: str = None):
     """Full pipeline: minmax PTQ -> unit-sequential AdaRound+LSQ refinement.
+
+    ``resume_dir``: directory for per-unit crash-resume checkpoints —
+    each reconstructed unit's hard-rounded params + act step are saved
+    after its optimization; a rerun loads them and skips straight to the
+    first unfinished unit (the sequential capture re-derives its inputs
+    from the restored quantized prefix, so the resumed result equals an
+    uninterrupted run up to rng).
 
     Returns (qvariables, act_scales, qapply).
     """
@@ -738,6 +787,18 @@ def adaround_reconstruct(model, variables, calib_batches,
         }
         if not w_local:
             continue
+        if resume_dir:
+            os.makedirs(resume_dir, exist_ok=True)
+            got = _load_unit_result(resume_dir, path_s, fp_sub)
+            if got is not None:
+                q_sub, new_act = got
+                qparams = _set_subtree(qparams, rel, q_sub)
+                if new_act is not None:
+                    act_scales[path_s] = new_act
+                if verbose:
+                    print(f"[adaround] {path_s}: resumed from "
+                          f"{_resume_path(resume_dir, path_s)}", flush=True)
+                continue
         _t0 = _time.time()
         if rcfg.sequential:
             # input from the partially-reconstructed model: predecessors
@@ -764,6 +825,8 @@ def adaround_reconstruct(model, variables, calib_batches,
         qparams = _set_subtree(qparams, rel, q_sub)
         if new_act is not None:
             act_scales[path_s] = new_act
+        if resume_dir:
+            _save_unit_result(resume_dir, path_s, q_sub, new_act)
         if verbose:
             print(f"[adaround] {path_s}: recon={recon:.6f} "
                   f"(capture {_t_cap:.1f}s, optimize "

@@ -10,6 +10,7 @@ PTQ pipeline first (parity: tools/inference_mc_quant.py).
 import argparse
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -272,8 +273,11 @@ def main():
         else:
             rcfg = ReconCfg() if args.iters is None else ReconCfg(
                 iters=args.iters)
+            resume = (os.path.join(args.run_dir, "adaround_resume")
+                      if args.run_dir else None)
             qvars, act_scales, qapply = adaround_reconstruct(
-                model, variables, calib, cfg=qcfg, rcfg=rcfg, verbose=True
+                model, variables, calib, cfg=qcfg, rcfg=rcfg, verbose=True,
+                resume_dir=resume,
             )
         summary, lat = run_eval(
             model, qvars, test, hypes,
