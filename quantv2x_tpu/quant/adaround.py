@@ -687,7 +687,9 @@ def _save_unit_result(resume_dir, path_s, q_sub, new_act):
         payload["act::delta"] = np.asarray(new_act[0])
         if new_act[1] is not None:
             payload["act::zp"] = np.asarray(new_act[1])
-    tmp = _resume_path(resume_dir, path_s) + ".tmp"
+    # np.savez appends ".npz" when absent — keep the tmp name ending in
+    # .npz so the atomic rename source actually exists
+    tmp = _resume_path(resume_dir, path_s)[:-4] + ".tmp.npz"
     np.savez(tmp, **payload)
     os.replace(tmp, _resume_path(resume_dir, path_s))
 
