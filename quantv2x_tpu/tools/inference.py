@@ -164,6 +164,12 @@ def main():
     ap.add_argument("--points", type=int, default=20000,
                     help="synthetic eval points per agent")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="checkpoint epoch to load (default latest; 'best' "
+                         "= read the run's best-val marker)")
+    ap.add_argument("--best", action="store_true",
+                    help="load the best-val checkpoint recorded in "
+                         "<run_dir>/best instead of the latest epoch")
     args = ap.parse_args()
 
     from quantv2x_tpu.config.hypes import load_hypes
@@ -212,7 +218,13 @@ def main():
         model, jax.random.PRNGKey(0), sample, OptimCfg()
     )
     if args.run_dir:
-        state, epoch = ckpt.restore_checkpoint(args.run_dir, state)
+        epoch_want = args.epoch
+        if args.best and epoch_want is None:
+            marker = os.path.join(args.run_dir, "best")
+            with open(marker) as f:
+                epoch_want = int(f.read().split()[0])
+        state, epoch = ckpt.restore_checkpoint(args.run_dir, state,
+                                               epoch=epoch_want)
         print(f"[inference] loaded epoch {epoch}")
     variables = {"params": state.params, "batch_stats": state.batch_stats,
                  **dict(state.extra_vars)}
