@@ -187,7 +187,19 @@ class PyramidCollabModel(nn.Module):
         feats = self.encode_agents(batch, train)
         aux = {}
         if self.compressor is not None:
-            feats, aux = self.compressor(feats, train)
+            qfeats, aux = self.compressor(feats, train)
+            # Optional per-step wire bypass (batch["wire_bypass"] scalar
+            # 0/1): stage-3 co-training on wire-only features makes the
+            # detector wire-DEPENDENT (r4: bypassing the codebook dropped
+            # mAP@0.5 0.721 -> 0.527). Mixing bypass steps keeps the
+            # no-wire pipeline alive; the compressor still runs (its aux
+            # loss keeps training the codebook) and only the fused input
+            # is selected.
+            bp = batch.get("wire_bypass")
+            if bp is None:
+                feats = qfeats
+            else:
+                feats = jnp.where(jnp.asarray(bp, bool), feats, qfeats)
         out = self.fuse_and_predict(feats, batch, train)
         out.update(aux)
         return out

@@ -6,12 +6,16 @@ dispatched by agent_modality_list:179-185), camera-branch center-crop, then
 the shared pyramid fusion + heads.
 
 TPU re-design of the dynamic dispatch: the reference eval()'s per-modality
-module names and runs each encoder on its agents' dynamic subset. Here every
-registered modality encoder runs over the full padded agent axis and the
-outputs are SELECTED by the per-agent modality id — static shapes, no
-gather/scatter, branchless. (Cost: k_modalities x encoder FLOPs on the agent
-axis; with L<=4 agents and <=2-3 modalities this keeps the MXU busy instead
-of the scheduler — revisit with agent-grouping if modality counts grow.)
+module names and runs each encoder on its agents' dynamic subset. Here each
+modality branch runs on a COMPACTED agent axis (`encode_agents`): a stable
+argsort groups that modality's live slots first, the branch encodes its
+static per-modality `capacity` budget, and the features scatter back to
+their original slots with OOB-drop masking. Static shapes throughout, and
+encoder compute scales with sum(capacity) instead of
+n_modalities x max_cav. (An earlier design ran every branch over the full
+padded agent axis and jnp.where-selected — branchless but M x encoder
+FLOPs; `tests/test_heter_model.py` keeps an oracle-equivalence test
+against that semantics.)
 """
 
 import dataclasses

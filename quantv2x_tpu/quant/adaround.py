@@ -676,6 +676,52 @@ def _resume_path(resume_dir, path_s):
     return os.path.join(resume_dir, path_s.replace("/", "__") + ".npz")
 
 
+def resume_fingerprint(variables, calib_seeds=None, epoch=None, iters=None):
+    """Fingerprint of everything a resume dir's per-unit results depend on:
+    the FP params the units were reconstructed against, the calibration
+    data identity, and the optimization length. Cheap (one sha256 over
+    ~21 MB of params at flagship scale)."""
+    import hashlib
+    h = hashlib.sha256()
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    for p, v in sorted(flat, key=lambda kv: jax.tree_util.keystr(kv[0])):
+        h.update(jax.tree_util.keystr(p).encode())
+        h.update(np.asarray(v).tobytes())
+    return {"params_sha256": h.hexdigest()[:16],
+            "calib_seeds": list(calib_seeds) if calib_seeds else None,
+            "epoch": epoch, "iters": iters}
+
+
+def _check_resume_meta(resume_dir, meta, verbose):
+    """Refuse stale per-unit caches (advisor r4, medium): a resume dir is
+    only valid against the exact checkpoint + calib set it was built on.
+    Legacy dirs (units but no meta.json) are grandfathered: stamped with
+    the current fingerprint and a warning, since refusing would discard
+    them with no way to verify."""
+    import glob as _glob
+    import json as _json
+    fn = os.path.join(resume_dir, "meta.json")
+    if os.path.exists(fn):
+        with open(fn) as f:
+            got = _json.load(f)
+        mismatch = {k: (got.get(k), v) for k, v in meta.items()
+                    if got.get(k) != v}
+        if mismatch:
+            raise RuntimeError(
+                f"adaround resume dir {resume_dir} was built against a "
+                f"different run (mismatched {mismatch}); clear the dir or "
+                f"point --run_dir elsewhere — reusing it would silently "
+                f"mix results from two checkpoints/calib sets")
+    else:
+        legacy = _glob.glob(os.path.join(resume_dir, "*.npz"))
+        if legacy and verbose:
+            print(f"[adaround] WARNING: {len(legacy)} legacy resume units "
+                  f"with no meta.json in {resume_dir}; stamping current "
+                  f"fingerprint (cannot verify they match)", flush=True)
+        with open(fn, "w") as f:
+            _json.dump(meta, f, indent=1)
+
+
 def _save_unit_result(resume_dir, path_s, q_sub, new_act):
     """Persist one reconstructed unit (crash resume: a flagship 5000-iter
     run is hours, and the tunneled TPU worker can kernel-fault at any
@@ -717,7 +763,7 @@ def _load_unit_result(resume_dir, path_s, fp_sub):
 def adaround_reconstruct(model, variables, calib_batches,
                          cfg: ptq_mod.PTQConfig = None,
                          rcfg: ReconCfg = None, verbose: bool = False,
-                         resume_dir: str = None):
+                         resume_dir: str = None, resume_meta: dict = None):
     """Full pipeline: minmax PTQ -> unit-sequential AdaRound+LSQ refinement.
 
     ``resume_dir``: directory for per-unit crash-resume checkpoints —
@@ -732,6 +778,9 @@ def adaround_reconstruct(model, variables, calib_batches,
     import time as _time
     cfg = cfg or ptq_mod.PTQConfig()
     rcfg = rcfg or ReconCfg()
+    if resume_dir and resume_meta is not None:
+        os.makedirs(resume_dir, exist_ok=True)
+        _check_resume_meta(resume_dir, resume_meta, verbose)
     _t0 = _time.time()
     qvars, act_scales, qapply, w_scales = ptq_mod.ptq_calibrate(
         model, variables, calib_batches, cfg, return_w_scales=True

@@ -165,8 +165,8 @@ def main():
                     help="synthetic eval points per agent")
     ap.add_argument("--json", default=None)
     ap.add_argument("--epoch", type=int, default=None,
-                    help="checkpoint epoch to load (default latest; 'best' "
-                         "= read the run's best-val marker)")
+                    help="checkpoint epoch to load (default latest; for "
+                         "the best-val checkpoint use --best)")
     ap.add_argument("--best", action="store_true",
                     help="load the best-val checkpoint recorded in "
                          "<run_dir>/best instead of the latest epoch")
@@ -230,10 +230,18 @@ def main():
     state, _ = create_train_state(
         model, jax.random.PRNGKey(0), sample, OptimCfg()
     )
+    epoch = None
     if args.run_dir:
+        if args.best and args.epoch is not None:
+            raise SystemExit("--epoch and --best are mutually exclusive")
         epoch_want = args.epoch
-        if args.best and epoch_want is None:
+        if args.best:
             marker = os.path.join(args.run_dir, "best")
+            if not os.path.exists(marker):
+                raise SystemExit(
+                    f"--best: no best-val marker at {marker} (the run "
+                    f"predates best-val tracking or the marker was "
+                    f"pruned); use --epoch N instead")
             with open(marker) as f:
                 epoch_want = int(f.read().split()[0])
         state, epoch = ckpt.restore_checkpoint(args.run_dir, state,
@@ -243,7 +251,14 @@ def main():
                  **dict(state.extra_vars)}
 
     def emit(summary, lat, n_frames, **extra):
+        # mean_latency_s is per-CALL host wall-clock: on the tunneled axon
+        # backend every jitted call pays ~30 ms+ of tunnel dispatch, so it
+        # is NOT device latency (bench.py's 64-frame scan-chains are; the
+        # same pipeline that reads ~1.3 s/call here measures ~21 ms/frame
+        # there). Kept for relative comparisons only.
         out = {"ap": summary, "mean_latency_s": round(lat, 4),
+               "latency_note": "tunnel_per_call; device-rate latency is "
+                               "bench.py scan-chain ms/frame",
                "fps": round(1.0 / lat, 2) if lat else None,
                "frames": n_frames, **extra}
         print(json.dumps(out, indent=2, default=float))
@@ -300,9 +315,12 @@ def main():
                 iters=args.iters)
             resume = (os.path.join(args.run_dir, "adaround_resume")
                       if args.run_dir else None)
+            from quantv2x_tpu.quant.adaround import resume_fingerprint
+            meta = resume_fingerprint(variables, calib_seeds=calib_seeds,
+                                      epoch=epoch, iters=rcfg.iters)
             qvars, act_scales, qapply = adaround_reconstruct(
                 model, variables, calib, cfg=qcfg, rcfg=rcfg, verbose=True,
-                resume_dir=resume,
+                resume_dir=resume, resume_meta=meta,
             )
         summary, lat = run_eval(
             model, qvars, test, hypes,

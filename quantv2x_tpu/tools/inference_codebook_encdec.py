@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--max_cav", type=int, default=2)
     ap.add_argument("--seg_num", type=int, default=2)
     ap.add_argument("--dict_size", type=int, default=256)
+    ap.add_argument("--levels", type=int, default=3,
+                    help="residual codebook levels (wire = "
+                         "levels*seg_num*log2(dict_size) bits/px)")
+    ap.add_argument("--no_anchor", action="store_true",
+                    help="skip the same-frames no-wire FP row (ap_nowire) "
+                         "— it is evaluated by default so every encdec "
+                         "JSON carries its own seed-matched anchor")
     ap.add_argument("--cache_dir", default=None)
     ap.add_argument("--engine_clip", choices=["mse", "entropy", "percentile"],
                     default="mse")
@@ -67,7 +74,7 @@ def main():
     mcfg = dataclasses.replace(hypes.model, max_cav=args.max_cav)
     compressor = CodebookCompressor(
         channel=mcfg.backbone_filters[-1], seg_num=args.seg_num,
-        dict_sizes=(args.dict_size,) * 3, dtype=mcfg.jnp_dtype,
+        dict_sizes=(args.dict_size,) * args.levels, dtype=mcfg.jnp_dtype,
     )
     model = PyramidCollabModel(mcfg, compressor=compressor)
 
@@ -133,9 +140,23 @@ def main():
         )
         return det
 
-    lv = 3
+    @jax.jit
+    def nowire_stage(variables, batch):
+        """Same frames, wire bypassed: the seed-matched FP anchor (r4's
+        anchor was measured on a different seed set; this removes the
+        cross-set comparison from every wire-cost claim)."""
+        def fn(mdl):
+            return mdl.fuse_and_predict(mdl.encode_agents(batch), batch)
+        out = model_apply(variables, method=lambda mdl: fn(mdl))
+        return decode_detections(
+            out["cls_preds"][0], out["reg_preds"][0], anchors,
+            hypes.postprocess, dir_preds=out["dir_preds"][0],
+        )
+
+    lv = args.levels
     bits_per_px = lv * args.seg_num * int(np.ceil(np.log2(args.dict_size)))
     stat = new_result_stat(mcfg.num_class)
+    stat_nw = new_result_stat(mcfg.num_class)
     lat = []
     for i, batch in enumerate(batches):
         t0 = time.time()
@@ -154,16 +175,47 @@ def main():
         accumulate_frame(stat, det["corners"], det["scores"], det["labels"],
                          det["valid"], gt_corners, batch["gt_classes"][0],
                          gt_mask)
+        if not args.no_anchor:
+            dn = jax.block_until_ready(nowire_stage(variables, batch))
+            accumulate_frame(stat_nw, dn["corners"], dn["scores"],
+                             dn["labels"], dn["valid"], gt_corners,
+                             batch["gt_classes"][0], gt_mask)
+
+    # per-level codebook health from the training-time EMA usage counts
+    # (codebook_stats collection; reference tracks the same for
+    # reAssignCodebook) — reported so RD rows carry dead-code context
+    usage = {}
+    stats_tree = dict(state.extra_vars).get("codebook_stats", {})
+    flat = jax.tree_util.tree_flatten_with_path(stats_tree)[0]
+    for pth, v in flat:
+        key = jax.tree_util.keystr(pth)
+        v = np.asarray(v, np.float64)
+        if v.ndim != 2:          # (seg, dict) usage counts
+            continue
+        p = v / np.clip(v.sum(axis=-1, keepdims=True), 1e-9, None)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = -(p * np.log(np.clip(p, 1e-12, None))).sum(axis=-1)
+        from quantv2x_tpu.models.codebook_utils import EPS
+        usage[key] = {
+            "dead_frac": round(float((v < EPS).mean()), 4),
+            "perplexity": round(float(np.exp(ent).mean()), 1),
+            "dict_size": int(v.shape[-1]),
+        }
 
     h, w = codes.shape[2], codes.shape[3]
     payload_bytes = h * w * bits_per_px / 8
     out = {
         "ap": summarize(stat),
+        "ap_nowire": None if args.no_anchor else summarize(stat_nw),
         "mean_latency_s": round(float(np.mean(lat)), 4) if lat else None,
+        "latency_note": "tunnel_per_call; device-rate latency is bench.py "
+                        "scan-chain ms/frame",
         "wire_bits_per_bev_pixel": bits_per_px,
         "payload_kb_per_agent": round(payload_bytes / 1024, 1),
         "fp32_payload_kb": round(h * w * C * 4 / 1024, 1),
         "compression_x": round(C * 32 / bits_per_px, 1),
+        "codebook_usage": usage,
+        "seg_num": args.seg_num, "dict_size": args.dict_size, "levels": lv,
         "engine": args.engine,
         "max_cav": args.max_cav,
     }

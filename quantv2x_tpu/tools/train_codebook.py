@@ -36,6 +36,15 @@ def main():
     ap.add_argument("--max_cav", type=int, default=2)
     ap.add_argument("--seg_num", type=int, default=2)
     ap.add_argument("--dict_size", type=int, default=256)
+    ap.add_argument("--levels", type=int, default=3,
+                    help="residual codebook levels (wire = "
+                         "levels*seg_num*log2(dict_size) bits/px)")
+    ap.add_argument("--wire_mix", type=float, default=0.0,
+                    help="stage-3 only: probability a train step runs "
+                         "with the wire BYPASSED (mixed wire/no-wire "
+                         "co-training keeps the detector usable without "
+                         "the codebook; r4's wire-only stage 3 dropped "
+                         "no-wire mAP@0.5 0.794 -> 0.527)")
     ap.add_argument("--objects", type=int, default=12,
                     help="synthetic scene objects (match the stage-1 run)")
     ap.add_argument("--points", type=int, default=20000,
@@ -57,7 +66,7 @@ def main():
     mcfg = dataclasses.replace(hypes.model, max_cav=args.max_cav)
     compressor = CodebookCompressor(
         channel=mcfg.backbone_filters[-1], seg_num=args.seg_num,
-        dict_sizes=(args.dict_size,) * 3, dtype=mcfg.jnp_dtype,
+        dict_sizes=(args.dict_size,) * args.levels, dtype=mcfg.jnp_dtype,
     )
     model = PyramidCollabModel(mcfg, compressor=compressor)
 
@@ -132,7 +141,11 @@ def main():
         rng = np.random.default_rng(epoch)
         tot, naux, n = 0.0, 0.0, 0
         for j in rng.permutation(len(groups)):
-            state, metrics = step(state, groups[j])
+            g = groups[j]
+            if args.wire_mix > 0.0:
+                g = dict(g)
+                g["wire_bypass"] = np.bool_(rng.random() < args.wire_mix)
+            state, metrics = step(state, g)
             tot += float(metrics["total_loss"])
             naux += float(metrics.get("aux_loss", 0.0))
             n += 1
