@@ -334,6 +334,13 @@ def main():
             "compile_s": round(compile_s, 1),
             "trace_s": round(trace_s, 1),
             "compile_cache_entries_before": cache_entries_before,
+            # entries_after > entries_before distinguishes a true cache
+            # MISS (new program fingerprint compiled + stored) from mere
+            # backend slowness on a hit (r4 read 45.7 s with 546 entries
+            # and no way to tell which)
+            "compile_cache_entries_after": (
+                len(os.listdir(cache_dir)) if os.path.isdir(cache_dir)
+                else 0),
             "compile_cache_hit": bool(cache_entries_before and
                                       compile_s < 30.0),
             "latency_ms": round(dt * 1e3, 2),

@@ -142,6 +142,20 @@ class StampCollabModel(nn.Module):
         fm = self.ego_model.encode_agents(batch, train=False)
         fm = jax.lax.stop_gradient(fm)
         feats = None
+        if self.stage in ("infer_hetero", "infer_hetero_raw"):
+            # Heterogeneous serving: collaborators really run the PROTOCOL
+            # stack; the ego fuses their features after the reverter maps
+            # them into its own space (reference
+            # forward_adapter_and_reverter, heter_model_baseline_w_stamp
+            # .py:885-931). "_raw" skips the bridge — the feature-space-
+            # mismatch baseline the adapter exists to fix.
+            fp = self.protocol_model.encode_agents(batch, train=False)
+            fp = jax.lax.stop_gradient(fp)
+            other = (fp if self.stage == "infer_hetero_raw"
+                     else self.bridge.reverter(fp))
+            collab = jnp.concatenate([fm[:, :1], other[:, 1:]], axis=1)
+            return self.ego_model.fuse_and_predict(collab, batch,
+                                                   train=False)
         if self.stage != "infer":
             fp = self.protocol_model.encode_agents(batch, train=False)
             fp = jax.lax.stop_gradient(fp)

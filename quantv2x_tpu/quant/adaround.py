@@ -740,6 +740,40 @@ def _save_unit_result(resume_dir, path_s, q_sub, new_act):
     os.replace(tmp, _resume_path(resume_dir, path_s))
 
 
+def _skip_path(resume_dir, path_s):
+    return _resume_path(resume_dir, path_s)[:-4] + ".skip"
+
+
+def _skip_count(resume_dir, path_s):
+    fn = _skip_path(resume_dir, path_s)
+    if not os.path.exists(fn):
+        return 0
+    with open(fn) as f:
+        return int(f.read().strip() or 0)
+
+
+def _mark_skip(resume_dir, path_s):
+    n = _skip_count(resume_dir, path_s) + 1
+    with open(_skip_path(resume_dir, path_s), "w") as f:
+        f.write(str(n))
+    return n
+
+
+def _wait_backend_recovery(max_wait_s=900, probe_every_s=45):
+    """After a tunneled-TPU worker crash mid-run, the remote side needs
+    minutes to come back (measured r4: 2-15 min). Probe with a trivial
+    dispatch until it answers or the budget runs out."""
+    import time as _time
+    t0 = _time.time()
+    while _time.time() - t0 < max_wait_s:
+        try:
+            float(jnp.asarray(1.0) + 1.0)
+            return True
+        except Exception:
+            _time.sleep(probe_every_s)
+    return False
+
+
 def _load_unit_result(resume_dir, path_s, fp_sub):
     fn = _resume_path(resume_dir, path_s)
     if not os.path.exists(fn):
@@ -850,29 +884,61 @@ def adaround_reconstruct(model, variables, calib_batches,
                     print(f"[adaround] {path_s}: resumed from "
                           f"{_resume_path(resume_dir, path_s)}", flush=True)
                 continue
-        _t0 = _time.time()
-        if rcfg.sequential:
-            # input from the partially-reconstructed model: predecessors
-            # already carry their hard-rounded weights + refined act steps
-            inputs, extra_args = capture_unit_inputs(
-                run_cap, static_extras, dict(qvars, params=qparams),
-                act_scales, calib_batches, path_s)
-        else:
-            inputs, extra_args = ent["inputs"], ent["extra_args"] or []
-        _t_cap = _time.time() - _t0
-        if not inputs:
+        if resume_dir and _skip_count(resume_dir, path_s) >= 2:
+            # this unit's program repeatedly kernel-faulted the backend
+            # (r4+r5: the flagship PFN unit deterministically crashes the
+            # tunneled worker); keep its plain-PTQ nearest rounding
+            if verbose:
+                print(f"[adaround] {path_s}: SKIPPED (backend-faulted "
+                      f"{_skip_count(resume_dir, path_s)}x; keeps nearest "
+                      f"rounding)", flush=True)
             continue
-        act = act_scales.get(path_s)
-        unit_heads = None
-        if head_params is not None and any(
-                path_s.endswith(s) for s in rcfg.pred_unit_suffixes):
-            unit_heads = head_params
-        q_sub, new_act, recon, hit = reconstruct_unit(
-            ent["module"], fp_sub, bs_sub, w_local, act,
-            inputs, ent["outputs"], extra_args,
-            cfg.weight_spec, cfg.act_spec, rcfg, jax.random.PRNGKey(0),
-            head_params=unit_heads,
-        )
+        _t0 = _time.time()
+        try:
+            if rcfg.sequential:
+                # input from the partially-reconstructed model:
+                # predecessors already carry their hard-rounded weights +
+                # refined act steps
+                inputs, extra_args = capture_unit_inputs(
+                    run_cap, static_extras, dict(qvars, params=qparams),
+                    act_scales, calib_batches, path_s)
+            else:
+                inputs, extra_args = ent["inputs"], ent["extra_args"] or []
+            _t_cap = _time.time() - _t0
+            if not inputs:
+                continue
+            act = act_scales.get(path_s)
+            unit_heads = None
+            if head_params is not None and any(
+                    path_s.endswith(s) for s in rcfg.pred_unit_suffixes):
+                unit_heads = head_params
+            if verbose:
+                print(f"[adaround] {path_s}: optimizing "
+                      f"({len(inputs)} calib inputs, "
+                      f"{inputs[0].shape if hasattr(inputs[0], 'shape') else '?'})",
+                      flush=True)
+            q_sub, new_act, recon, hit = reconstruct_unit(
+                ent["module"], fp_sub, bs_sub, w_local, act,
+                inputs, ent["outputs"], extra_args,
+                cfg.weight_spec, cfg.act_spec, rcfg, jax.random.PRNGKey(0),
+                head_params=unit_heads,
+            )
+        except Exception as e:  # noqa: BLE001 — backend faults are not
+            # a typed exception family; anything raised mid-unit leaves
+            # that unit at nearest rounding rather than killing the
+            # (hours-long) run
+            if resume_dir:
+                n = _mark_skip(resume_dir, path_s)
+            else:
+                n = 1
+            print(f"[adaround] {path_s}: FAULTED ({type(e).__name__}: "
+                  f"{str(e)[:200]}); attempt {n}, keeping nearest "
+                  f"rounding this run", flush=True)
+            if not _wait_backend_recovery():
+                raise RuntimeError(
+                    f"backend did not recover after fault at {path_s}; "
+                    f"re-run the same command to resume") from e
+            continue
         qparams = _set_subtree(qparams, rel, q_sub)
         if new_act is not None:
             act_scales[path_s] = new_act
