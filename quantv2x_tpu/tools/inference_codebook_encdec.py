@@ -35,11 +35,24 @@ def main():
     ap.add_argument("--levels", type=int, default=3,
                     help="residual codebook levels (wire = "
                          "levels*seg_num*log2(dict_size) bits/px)")
+    ap.add_argument("--ego_fp", action="store_true",
+                    help="serving ablation: the ego keeps its LOCAL FP "
+                         "feature and only collaborator messages cross "
+                         "the wire (the reference round-trips all agents "
+                         "incl. ego, heter_pyramid_collab_codebook_mc.py"
+                         ":113-128 — but an ego never transmits to "
+                         "itself; requires a wire-robust detector, i.e. "
+                         "mixed stage-3 training)")
     ap.add_argument("--no_anchor", action="store_true",
                     help="skip the same-frames no-wire FP row (ap_nowire) "
                          "— it is evaluated by default so every encdec "
                          "JSON carries its own seed-matched anchor")
     ap.add_argument("--cache_dir", default=None)
+    ap.add_argument("--calib", type=int, default=4,
+                    help="engine calibration frames, drawn from the "
+                         "DISJOINT 1000+ seed pool (inference.py "
+                         "protocol; r4 calibrated on the first 4 eval "
+                         "frames — both a leak and a 4-batch clip search)")
     ap.add_argument("--engine_clip", choices=["mse", "entropy", "percentile"],
                     default="mse")
     ap.add_argument("--engine_adaround", type=int, default=0,
@@ -78,15 +91,16 @@ def main():
     )
     model = PyramidCollabModel(mcfg, compressor=compressor)
 
-    batches = [
-        frame_to_batch(
+    def _batch(seed):
+        return frame_to_batch(
             make_frame(SyntheticCfg(
                 lidar_range=hypes.voxel.lidar_range, num_agents=args.max_cav,
                 num_objects=args.objects, points_per_agent=args.points,
-                seed=2000 + s)),
+                seed=seed)),
             hypes.voxel, max_cav=args.max_cav)
-        for s in range(args.synthetic)
-    ]
+
+    batches = [_batch(2000 + s) for s in range(args.synthetic)]
+    calib_batches = [_batch(1000 + s) for s in range(args.calib)]
     state, _ = create_train_state(
         model, jax.random.PRNGKey(0), batches[0], OptimCfg(),
         init_rngs={"gumbel": jax.random.PRNGKey(1)},
@@ -108,7 +122,7 @@ def main():
         from quantv2x_tpu.quant.int8_fused_engine import \
             build_int8_fused_engine
         _, model_apply = build_int8_fused_engine(
-            model, variables, batches[: min(4, len(batches))], h_tile=16,
+            model, variables, calib_batches, h_tile=16,
             clip=args.engine_clip, adaround_iters=args.engine_adaround)
 
     @jax.jit
@@ -131,6 +145,10 @@ def main():
             feats = mdl.compressor.codebook.decode(
                 flat.reshape(-1, lv, args.seg_num))
             feats = feats.reshape(B, L, h, w, C).astype(mcfg.jnp_dtype)
+            if args.ego_fp:
+                local = mdl.encode_agents(batch)      # ego's own FP path
+                feats = jnp.concatenate([local[:, :1], feats[:, 1:]],
+                                        axis=1)
             out = mdl.fuse_and_predict(feats, batch)
             return out
         out = model_apply(variables, method=lambda mdl: fn(mdl))
@@ -217,6 +235,8 @@ def main():
         "codebook_usage": usage,
         "seg_num": args.seg_num, "dict_size": args.dict_size, "levels": lv,
         "engine": args.engine,
+        "ego_fp": bool(args.ego_fp),
+        "calib": args.calib,
         "max_cav": args.max_cav,
     }
     print(json.dumps(out, indent=2, default=float))
