@@ -679,14 +679,26 @@ def _resume_path(resume_dir, path_s):
 def resume_fingerprint(variables, calib_seeds=None, epoch=None, iters=None):
     """Fingerprint of everything a resume dir's per-unit results depend on:
     the FP params the units were reconstructed against, the calibration
-    data identity, and the optimization length. Cheap (one sha256 over
-    ~21 MB of params at flagship scale)."""
+    data identity, and the optimization length.
+
+    Params are summarized by per-leaf (path, shape, |sum|) digested in ONE
+    device fetch — per-leaf np.asarray would cost one tunnel round trip
+    per parameter (~300 leaves x ~1s on the remote backend)."""
     import hashlib
-    h = hashlib.sha256()
     flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
-    for p, v in sorted(flat, key=lambda kv: jax.tree_util.keystr(kv[0])):
+    flat = sorted(flat, key=lambda kv: jax.tree_util.keystr(kv[0]))
+
+    @jax.jit
+    def _sums(leaves):
+        return jnp.stack([jnp.sum(jnp.abs(v.astype(jnp.float32)))
+                          for v in leaves])
+
+    sums = np.asarray(_sums([v for _, v in flat]))
+    h = hashlib.sha256()
+    for (p, v), s in zip(flat, sums):
         h.update(jax.tree_util.keystr(p).encode())
-        h.update(np.asarray(v).tobytes())
+        h.update(str(tuple(v.shape)).encode())
+        h.update(np.float32(s).tobytes())
     return {"params_sha256": h.hexdigest()[:16],
             "calib_seeds": list(calib_seeds) if calib_seeds else None,
             "epoch": epoch, "iters": iters}

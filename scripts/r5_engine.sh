@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# Round-5 engine rows (VERDICT r4 asks #3/#4): engine-only re-measure with
+# joint-LSQ + longer block-AdaRound and the MSE-vs-entropy A/B, then the
+# fully-quantized config #4 on the mixed-trained stage-3 codebook model
+# with the stronger calibration (16 disjoint frames, 2000-iter refine).
+set -x
+cd "$(dirname "$0")/.."
+INF="python -m quantv2x_tpu.tools.inference -y configs/v2x_real/lidar_pyramid_synth.yaml --run_dir runs/flagship_synth --calib 16 --synthetic 16 --max_cav 4 --objects 24 --points 30000"
+ENC="python -m quantv2x_tpu.tools.inference_codebook_encdec -y configs/v2x_real/codebook_pyramid_stage3.yaml --calib 16 --synthetic 16 --max_cav 4 --objects 24 --points 30000"
+
+# ask #4: engine-only, joint-LSQ + 2000-iter refinement, mse vs entropy
+timeout 7200 $INF --engine int8_fused --engine_clip mse \
+  --engine_adaround 2000 --json runs/eval_engine_mse_a2000.json || true
+timeout 7200 $INF --engine int8_fused --engine_clip entropy \
+  --engine_adaround 2000 --json runs/eval_engine_entropy_a2000.json || true
+
+# ask #3: config #4 on the r4 stage-3 model, stronger calib (A/B vs the
+# committed 0.625 row which used 4 leaked eval frames + 600 iters)
+timeout 7200 $ENC --run_dir runs/codebook_stage3 --engine int8_fused \
+  --engine_adaround 2000 --json runs/eval_cb3_orig_int8_c16a2000.json || true
+
+# config #4 on the mixed-trained stage 3 + the ego-FP serving row
+timeout 7200 $ENC --run_dir runs/cb3_mixed --engine int8_fused \
+  --engine_adaround 2000 --json runs/eval_cb3_mixed_int8.json || true
+timeout 7200 $ENC --run_dir runs/cb3_mixed --engine int8_fused \
+  --engine_adaround 2000 --ego_fp \
+  --json runs/eval_cb3_mixed_int8_egofp.json || true
+echo "=== engine rows done $(date) ==="
