@@ -896,7 +896,8 @@ def adaround_reconstruct(model, variables, calib_batches,
                     print(f"[adaround] {path_s}: resumed from "
                           f"{_resume_path(resume_dir, path_s)}", flush=True)
                 continue
-        if resume_dir and _skip_count(resume_dir, path_s) >= 2:
+        if resume_dir and jax.default_backend() != "cpu" \
+                and _skip_count(resume_dir, path_s) >= 2:
             # this unit's program repeatedly kernel-faulted the backend
             # (r4+r5: the flagship PFN unit deterministically crashes the
             # tunneled worker); keep its plain-PTQ nearest rounding
