@@ -681,24 +681,26 @@ def resume_fingerprint(variables, calib_seeds=None, epoch=None, iters=None):
     the FP params the units were reconstructed against, the calibration
     data identity, and the optimization length.
 
-    Params are summarized by per-leaf (path, shape, |sum|) digested in ONE
-    device fetch — per-leaf np.asarray would cost one tunnel round trip
-    per parameter (~300 leaves x ~1s on the remote backend)."""
+    Params are hashed from ONE packed device fetch (exact bytes, so the
+    fingerprint is identical on every backend) — per-leaf np.asarray
+    would cost one tunnel round trip per parameter (~300 leaves x ~1s on
+    the remote backend), and reduction-based summaries differ between
+    CPU and TPU numerics."""
     import hashlib
     flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
     flat = sorted(flat, key=lambda kv: jax.tree_util.keystr(kv[0]))
 
     @jax.jit
-    def _sums(leaves):
-        return jnp.stack([jnp.sum(jnp.abs(v.astype(jnp.float32)))
-                          for v in leaves])
+    def _packed(leaves):
+        return jnp.concatenate(
+            [jnp.ravel(v).astype(jnp.float32) for v in leaves])
 
-    sums = np.asarray(_sums([v for _, v in flat]))
+    buf = np.asarray(_packed([v for _, v in flat]))
     h = hashlib.sha256()
-    for (p, v), s in zip(flat, sums):
+    for p, v in flat:
         h.update(jax.tree_util.keystr(p).encode())
         h.update(str(tuple(v.shape)).encode())
-        h.update(np.float32(s).tobytes())
+    h.update(buf.tobytes())
     return {"params_sha256": h.hexdigest()[:16],
             "calib_seeds": list(calib_seeds) if calib_seeds else None,
             "epoch": epoch, "iters": iters}
