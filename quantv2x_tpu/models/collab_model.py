@@ -183,11 +183,16 @@ class PyramidCollabModel(nn.Module):
             out["unc_preds"] = preds[3]   # (B, h, w, S*unc_dim)
         return out
 
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False,
+                 compressor_train: bool = None):
+        # compressor_train: codebook stage 2 trains ONLY the compressor
+        # (gumbel soft path + aux loss) while the frozen detector runs in
+        # eval mode — pass train=False, compressor_train=True
         feats = self.encode_agents(batch, train)
         aux = {}
         if self.compressor is not None:
-            qfeats, aux = self.compressor(feats, train)
+            ct = train if compressor_train is None else compressor_train
+            qfeats, aux = self.compressor(feats, ct)
             # Optional per-step wire bypass (batch["wire_bypass"] scalar
             # 0/1): stage-3 co-training on wire-only features makes the
             # detector wire-DEPENDENT (r4: bypassing the codebook dropped

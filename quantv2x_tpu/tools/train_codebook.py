@@ -132,7 +132,18 @@ def main():
               f"epoch {epoch}")
 
     anchor_pack = anc.generate_anchors(hypes.anchors)
-    step = jax.jit(make_train_step(model, tx, anchor_pack, hypes.loss))
+    # stage 2: the detector is FROZEN — run it in eval mode (stage-1 BN
+    # running stats, no buffer drift) and keep only the compressor on the
+    # gumbel train path. Round 4 ran the whole model in train mode: the
+    # "frozen" detector co-adapted through its BatchNorm buffers, which
+    # is why its wire-bypassed eval collapsed (cls logits shifted by the
+    # wire-distribution stats).
+    step = jax.jit(make_train_step(
+        model, tx, anchor_pack, hypes.loss,
+        trainable_predicate=trainable,
+        apply_train_kwargs=({"train": False, "compressor_train": True}
+                            if args.stage == 2 else {"train": True}),
+    ))
 
     os.makedirs(args.run_dir, exist_ok=True)
     log_path = os.path.join(args.run_dir, "train_log.jsonl")

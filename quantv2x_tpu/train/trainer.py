@@ -116,7 +116,8 @@ def assign_batch_targets(batch, anchor_pack):
 
 def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
                     occ_supervision: bool = True,
-                    trainable_predicate=None):
+                    trainable_predicate=None,
+                    apply_train_kwargs=None):
     """Returns a jit-compatible (state, batch) -> (state, metrics) function.
 
     trainable_predicate (same callable as create_train_state's): when
@@ -124,12 +125,22 @@ def make_train_step(model, tx, anchor_pack, loss_cfg: LossCfg,
     absorbing current-data statistics — otherwise a frozen donor branch
     (--init_from + --trainable) silently drifts from the donor even
     though its weights never update (the reference avoids this by
-    putting fix_modules in eval())."""
+    putting fix_modules in eval()).
+
+    apply_train_kwargs: overrides the model.apply train flags (default
+    {"train": True}). Codebook stage 2 passes
+    {"train": False, "compressor_train": True} so the FROZEN detector
+    runs in eval mode (BN normalizes with the stage-1 running stats, and
+    the codebook trains on the true eval-time feature distribution)
+    while only the compressor takes the gumbel soft path — round-4
+    stage-2 ran the whole model in train mode and the 'frozen' detector
+    silently co-adapted through its BatchNorm buffers."""
+    apply_train_kwargs = apply_train_kwargs or {"train": True}
 
     def loss_fn(params, batch_stats, extra_vars, batch, labels, rng):
         variables = {"params": params, "batch_stats": batch_stats, **extra_vars}
         out, mutated = model.apply(
-            variables, batch, train=True,
+            variables, batch, **apply_train_kwargs,
             mutable=["batch_stats"] + list(extra_vars),
             rngs={"gumbel": rng},
         )

@@ -13,6 +13,7 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("QV2X_PLATFORM", "cpu")
 
 from quantv2x_tpu.utils.runtime import enable_compile_cache
