@@ -48,10 +48,20 @@ class BaselineFusionModel(nn.Module):
             self.comm_gate = Where2commGate(self.comm, c.anchor_num,
                                             dtype=dt)
         self.vfe = PillarVFE(c.voxel, c.pillar_filters, dtype=dt)
+        # full decode: every stage deconvs back to the FIRST stage's
+        # resolution before the channel concat (reference PointPillar
+        # baseline upsample_strides [1, 2, 4] for layer_strides [2, 2, 2],
+        # base_bev_backbone_resnet.py) — stage i sits at
+        # cumprod(strides)[i] of the input, so its deconv stride is
+        # cumprod(strides)[i] / cumprod(strides)[0]
+        cum = 1
+        cums = []
+        for s in c.backbone_strides:
+            cum *= int(s)
+            cums.append(cum)
         self.backbone = ResNetBEVBackbone(
             c.backbone_layers, c.backbone_strides, c.backbone_filters,
-            # full decode: deconv stages give the fused feature width
-            upsample_strides=(1,) * len(c.backbone_layers),
+            upsample_strides=tuple(s // cums[0] for s in cums),
             num_upsample_filters=(c.backbone_filters[-1] * 2,)
             * len(c.backbone_layers),
             dtype=dt,
