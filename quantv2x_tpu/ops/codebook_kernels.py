@@ -150,7 +150,11 @@ def _decode_kernel(codes_ref, Wdq, bdq, Wsd, bsd, Wrs, brs, CBs, out_ref,
     out_ref[:] = former.astype(out_ref.dtype)
 
 
-_CODE_COLS = 8  # L*m=6 used, padded to an 8-column int32 tile
+def _code_cols(L, m):
+    """int32 code columns padded to a multiple-of-8 sublane tile
+    (default 2x3 wire uses 6 -> 8; seg_num/levels sweeps can exceed
+    8, e.g. 4x3 = 12 -> 16)."""
+    return _round_up(L * m, 8)
 
 
 @functools.partial(
@@ -173,8 +177,8 @@ def fused_codebook_encode(packed, x, seg_num: int, dict_sizes,
         grid=grid,
         in_specs=[pl.BlockSpec((tile, C), lambda i: (i, 0))]
         + [full(packed[nm]) for nm in w_names],
-        out_specs=pl.BlockSpec((tile, _CODE_COLS), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((npad, _CODE_COLS), jnp.int32),
+        out_specs=pl.BlockSpec((tile, _code_cols(L, m)), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad, _code_cols(L, m)), jnp.int32),
         interpret=interpret,
     )(xp, *[packed[nm] for nm in w_names])
     return codes[:n, :L * m].reshape(n, L, m)
@@ -194,14 +198,14 @@ def fused_codebook_decode(packed, codes, seg_num: int, dict_sizes,
     n = codes.shape[0]
     flat = codes.reshape(n, L * m).astype(jnp.int32)
     npad = _round_up(max(n, 1), tile)
-    cp = jnp.pad(flat, ((0, npad - n), (0, _CODE_COLS - L * m)))
+    cp = jnp.pad(flat, ((0, npad - n), (0, _code_cols(L, m) - L * m)))
     grid = (npad // tile,)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
     w_names = ("Wdq", "bdq", "Wsd", "bsd", "Wrs", "brs", "CBs")
     out = pl.pallas_call(
         functools.partial(_decode_kernel, L=L, m=m, k=k, cdt=dtype),
         grid=grid,
-        in_specs=[pl.BlockSpec((tile, _CODE_COLS), lambda i: (i, 0))]
+        in_specs=[pl.BlockSpec((tile, _code_cols(L, m)), lambda i: (i, 0))]
         + [full(packed[nm]) for nm in w_names],
         out_specs=pl.BlockSpec((tile, C), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((npad, C), dtype),

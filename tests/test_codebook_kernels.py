@@ -37,6 +37,24 @@ def test_fused_encode_exact_f32():
                                   np.asarray(codes_fus))
 
 
+def test_fused_encode_decode_wide_wire_configs():
+    """RD-sweep wire shapes beyond the default 2x3: seg_num*levels can
+    exceed the 8-column int32 tile (4x3 = 12 codes) and seg_num=1 / 2
+    levels must also round-trip (r5 sweep configs)."""
+    for seg, dicts in ((4, (64,) * 3), (1, (64,) * 3), (2, (64,) * 2)):
+        ref, fus, variables, x = _pair(jnp.float32, seg=seg, dicts=dicts)
+        codes_ref = ref.apply(variables, x, method="encode")
+        codes_fus = fus.apply(variables, x, method="encode")
+        assert codes_fus.shape == (x.shape[0], len(dicts), seg)
+        np.testing.assert_array_equal(np.asarray(codes_ref),
+                                      np.asarray(codes_fus))
+        dec_ref = ref.apply(variables, codes_ref, method="decode")
+        dec_fus = fus.apply(variables, codes_ref, method="decode")
+        np.testing.assert_allclose(np.asarray(dec_ref),
+                                   np.asarray(dec_fus),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_fused_decode_exact_f32():
     ref, fus, variables, x = _pair(jnp.float32)
     codes = ref.apply(variables, x, method="encode")
