@@ -26,3 +26,15 @@ timeout 7200 $ENC --run_dir runs/cb3_mixed --engine int8_fused \
   --engine_adaround 2000 --ego_fp \
   --json runs/eval_cb3_mixed_int8_egofp.json || true
 echo "=== engine rows done $(date) ==="
+
+# full-model W8A8 collapse bisection on the TPU (CPU calibrate was ~3h;
+# TPU ptq_calibrate measures 23 s)
+timeout 5400 env QV2X_PLATFORM=axon python scripts/drive_w8a8_diag.py || true
+
+# catch-up: s4d256l3 encdec eval (its first run predated the dynamic
+# code-column kernel fix)
+timeout 2400 python -m quantv2x_tpu.tools.inference_codebook_encdec \
+  -y configs/v2x_real/codebook_pyramid_stage2.yaml --run_dir runs/cb2_s4d256l3 \
+  --synthetic 16 --max_cav 4 --objects 24 --points 30000 \
+  --seg_num 4 --dict_size 256 --levels 3 --json runs/eval_cb2_s4d256l3.json || true
+echo "=== diag + catchup done $(date) ==="
