@@ -14,10 +14,11 @@ timeout 7200 $INF --engine int8_fused --engine_clip mse \
 timeout 7200 $INF --engine int8_fused --engine_clip entropy \
   --engine_adaround 2000 --json runs/eval_engine_entropy_a2000.json || true
 
-# ask #3: config #4 on the r4 stage-3 model, stronger calib (A/B vs the
-# committed 0.625 row which used 4 leaked eval frames + 600 iters)
+# ask #3: config #4 on the r4 stage-3 model with ONLY the calibration
+# changed (16 disjoint frames vs the 4 leaked eval frames of the
+# committed 0.625 row; same 600 iters) — isolates the calib effect
 timeout 7200 $ENC --run_dir runs/codebook_stage3 --engine int8_fused \
-  --engine_adaround 2000 --json runs/eval_cb3_orig_int8_c16a2000.json || true
+  --engine_adaround 600 --json runs/eval_cb3_orig_int8_c16.json || true
 
 # config #4 on the mixed-trained stage 3 + the ego-FP serving row
 timeout 7200 $ENC --run_dir runs/cb3_mixed --engine int8_fused \
