@@ -23,16 +23,13 @@ timeout 3600 $T -y configs/v2x_real/lidar_pyramid_small.yaml \
 timeout 3600 python -m quantv2x_tpu.tools.train_stamp \
   -y configs/v2x_real/stamp_dsa_small.yaml --run_dir runs/stamp_small_r5 \
   --ego_dir runs/acc_small_r4 --protocol_dir runs/proto_small_r5 \
-  --synthetic 24 --epochs 60 --batch_size 2 || true
+  --synthetic 24 --epochs 40 --batch_size 2 || true
 
-# GenComm: stage 1 (denoiser+extractor on the frozen acc_small detector),
-# then stage 2 (extractor tuning)
+# GenComm stage 1 (denoiser + extractor on the frozen acc_small
+# detector); the missing-message sweep restores this run directly —
+# stage 2 only re-tunes the extractor and is skipped for time
 timeout 3600 python -m quantv2x_tpu.tools.train_gencomm \
   -y configs/v2x_real/gencomm_small.yaml --run_dir runs/gencomm_s1_r5 \
-  --stage 1 --base_dir runs/acc_small_r4 --synthetic 24 --epochs 60 \
+  --stage 1 --base_dir runs/acc_small_r4 --synthetic 24 --epochs 50 \
   --batch_size 2 --message_channels 32 || true
-timeout 3600 python -m quantv2x_tpu.tools.train_gencomm \
-  -y configs/v2x_real/gencomm_small.yaml --run_dir runs/gencomm_s2_r5 \
-  --stage 2 --base_dir runs/acc_small_r4 --resume_from runs/gencomm_s1_r5 \
-  --synthetic 24 --epochs 30 --batch_size 2 --message_channels 32 || true
 echo "=== small-grid queue done $(date) ==="

@@ -19,9 +19,10 @@ timeout 3600 $SWP -y configs/v2x_real/lidar_where2comm_small.yaml \
   --run_dir runs/where2comm_small_r5 --sweep comm --max_cav 2 \
   --synthetic 16 --json runs/eval_where2comm_comm_sweep.json || true
 
-# GenComm missing-message robustness
+# GenComm missing-message robustness (stage-1 run: extractor + denoiser
+# trained; stage 2 only re-tunes the extractor)
 timeout 3600 $SWP -y configs/v2x_real/gencomm_small.yaml \
-  --run_dir runs/gencomm_s2_r5 --sweep missing --max_cav 2 \
+  --run_dir runs/gencomm_s1_r5 --sweep missing --max_cav 2 \
   --synthetic 16 --json runs/eval_gencomm_missing_sweep.json || true
 
 # STAMP heterogeneous-transfer three-row table
