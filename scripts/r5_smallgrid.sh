@@ -7,6 +7,19 @@ set -x
 cd "$(dirname "$0")/.."
 T="python -m quantv2x_tpu.tools.train"
 
+# stage-3 mixed co-train on the RD winner (1x256x3 = 24 b/px, 85x, wire
+# mAP@0.5 ABOVE the anchor stage-2-only) — targets the mAP@0.7 gap
+timeout 3600 python -m quantv2x_tpu.tools.train_codebook \
+  -y configs/v2x_real/codebook_pyramid_stage3.yaml --stage 3 \
+  --stage1_dir runs/cb2_s1d256l3 --run_dir runs/cb3_mixed_s1 \
+  --synthetic 128 --epochs 12 --batch_size 2 --max_cav 4 --objects 24 \
+  --points 30000 --seg_num 1 --dict_size 256 --levels 3 --wire_mix 0.5 || true
+timeout 2400 python -m quantv2x_tpu.tools.inference_codebook_encdec \
+  -y configs/v2x_real/codebook_pyramid_stage3.yaml --run_dir runs/cb3_mixed_s1 \
+  --synthetic 16 --max_cav 4 --objects 24 --points 30000 \
+  --seg_num 1 --dict_size 256 --levels 3 \
+  --json runs/eval_cb3_mixed_s1.json || true
+
 for cfg in lidar_attfuse_small lidar_fcooper_small lidar_cobevt_small lidar_where2comm_small; do
   timeout 3600 $T -y configs/v2x_real/$cfg.yaml --run_dir runs/${cfg#lidar_}_r5 \
     --synthetic 24 --augment --epochs 300 --save_freq 100 || true
