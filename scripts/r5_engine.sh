@@ -10,9 +10,9 @@ ENC="python -m quantv2x_tpu.tools.inference_codebook_encdec -y configs/v2x_real/
 
 # ask #4: engine-only, joint-LSQ + 2000-iter refinement, mse vs entropy
 timeout 7200 $INF --engine int8_fused --engine_clip mse \
-  --engine_adaround 2000 --json runs/eval_engine_mse_a2000.json || true
+  --engine_adaround 1200 --json runs/eval_engine_mse_a2000.json || true
 timeout 7200 $INF --engine int8_fused --engine_clip entropy \
-  --engine_adaround 2000 --json runs/eval_engine_entropy_a2000.json || true
+  --engine_adaround 1200 --json runs/eval_engine_entropy_a2000.json || true
 
 # ask #3: config #4 on the r4 stage-3 model with ONLY the calibration
 # changed (16 disjoint frames vs the 4 leaked eval frames of the
@@ -22,9 +22,9 @@ timeout 7200 $ENC --run_dir runs/codebook_stage3 --engine int8_fused \
 
 # config #4 on the mixed-trained stage 3 + the ego-FP serving row
 timeout 7200 $ENC --run_dir runs/cb3_mixed --engine int8_fused \
-  --engine_adaround 2000 --json runs/eval_cb3_mixed_int8.json || true
+  --engine_adaround 1200 --json runs/eval_cb3_mixed_int8.json || true
 timeout 7200 $ENC --run_dir runs/cb3_mixed --engine int8_fused \
-  --engine_adaround 2000 --ego_fp \
+  --engine_adaround 1200 --ego_fp \
   --json runs/eval_cb3_mixed_int8_egofp.json || true
 echo "=== engine rows done $(date) ==="
 
