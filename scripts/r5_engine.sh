@@ -10,9 +10,9 @@ ENC="python -m quantv2x_tpu.tools.inference_codebook_encdec -y configs/v2x_real/
 
 # ask #4: engine-only, joint-LSQ + 2000-iter refinement, mse vs entropy
 timeout 7200 $INF --engine int8_fused --engine_clip mse \
-  --engine_adaround 1200 --json runs/eval_engine_mse_a2000.json || true
+  --engine_adaround 1200 --json runs/eval_engine_mse_a1200.json || true
 timeout 7200 $INF --engine int8_fused --engine_clip entropy \
-  --engine_adaround 1200 --json runs/eval_engine_entropy_a2000.json || true
+  --engine_adaround 1200 --json runs/eval_engine_entropy_a1200.json || true
 
 # ask #3: config #4 on the r4 stage-3 model with ONLY the calibration
 # changed (16 disjoint frames vs the 4 leaked eval frames of the
