@@ -20,12 +20,14 @@ timeout 7200 $INF --engine int8_fused --engine_clip entropy \
 timeout 7200 $ENC --run_dir runs/codebook_stage3 --engine int8_fused \
   --engine_adaround 600 --json runs/eval_cb3_orig_int8_c16.json || true
 
-# config #4 on the mixed-trained stage 3 + the ego-FP serving row
-timeout 7200 $ENC --run_dir runs/cb3_mixed --engine int8_fused \
-  --engine_adaround 1200 --json runs/eval_cb3_mixed_int8.json || true
-timeout 7200 $ENC --run_dir runs/cb3_mixed --engine int8_fused \
-  --engine_adaround 1200 --ego_fp \
-  --json runs/eval_cb3_mixed_int8_egofp.json || true
+# config #4 on the mixed-trained stage 3 (RD-winner 24 b/px wire) + the
+# ego-FP serving row
+timeout 7200 $ENC --run_dir runs/cb3_mixed_s1 --seg_num 1 --levels 3 \
+  --engine int8_fused --engine_adaround 1200 \
+  --json runs/eval_cb3_mixed_s1_int8.json || true
+timeout 7200 $ENC --run_dir runs/cb3_mixed_s1 --seg_num 1 --levels 3 \
+  --engine int8_fused --engine_adaround 1200 --ego_fp \
+  --json runs/eval_cb3_mixed_s1_int8_egofp.json || true
 echo "=== engine rows done $(date) ==="
 
 # full-model W8A8 collapse bisection on the TPU (CPU calibrate was ~3h;
