@@ -8,6 +8,16 @@ cd "$(dirname "$0")/.."
 INF="python -m quantv2x_tpu.tools.inference -y configs/v2x_real/lidar_pyramid_synth.yaml --run_dir runs/flagship_synth --calib 16 --synthetic 16 --max_cav 4 --objects 24 --points 30000"
 ENC="python -m quantv2x_tpu.tools.inference_codebook_encdec -y configs/v2x_real/codebook_pyramid_stage3.yaml --calib 16 --synthetic 16 --max_cav 4 --objects 24 --points 30000"
 
+# stage-3 mixed co-train retry at batch 1 (bs2 RESOURCE_EXHAUSTED: the
+# wire_bypass select keeps both feature branches live through backward)
+timeout 3600 python -m quantv2x_tpu.tools.train_codebook \
+  -y configs/v2x_real/codebook_pyramid_stage3.yaml --stage 3 \
+  --stage1_dir runs/cb2_s1d256l3 --run_dir runs/cb3_mixed_s1 \
+  --synthetic 128 --epochs 10 --batch_size 1 --max_cav 4 --objects 24 \
+  --points 30000 --seg_num 1 --dict_size 256 --levels 3 --wire_mix 0.5 || true
+timeout 2400 $ENC --run_dir runs/cb3_mixed_s1 --seg_num 1 --levels 3 \
+  --json runs/eval_cb3_mixed_s1.json || true
+
 # ask #4: engine-only, joint-LSQ + 2000-iter refinement, mse vs entropy
 timeout 7200 $INF --engine int8_fused --engine_clip mse \
   --engine_adaround 1200 --json runs/eval_engine_mse_a1200.json || true
