@@ -18,6 +18,13 @@ timeout 3600 python -m quantv2x_tpu.tools.train_codebook \
 timeout 2400 $ENC --run_dir runs/cb3_mixed_s1 --seg_num 1 --levels 3 \
   --json runs/eval_cb3_mixed_s1.json || true
 
+# catch-up: s4d256l3 encdec eval completes the RD table (its first run
+# predated the dynamic code-column kernel fix)
+timeout 2400 python -m quantv2x_tpu.tools.inference_codebook_encdec \
+  -y configs/v2x_real/codebook_pyramid_stage2.yaml --run_dir runs/cb2_s4d256l3 \
+  --synthetic 16 --max_cav 4 --objects 24 --points 30000 \
+  --seg_num 4 --dict_size 256 --levels 3 --json runs/eval_cb2_s4d256l3.json || true
+
 # ask #4: engine-only, joint-LSQ + 2000-iter refinement, mse vs entropy
 timeout 7200 $INF --engine int8_fused --engine_clip mse \
   --engine_adaround 1200 --json runs/eval_engine_mse_a1200.json || true
